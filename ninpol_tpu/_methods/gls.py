@@ -1,0 +1,295 @@
+"""GLS (Generalized Least Squares) MPFA-D node interpolation — TPU-native.
+
+Behavioral rebuild of the reference flagship method
+(ninpol/_methods/gls.pyx:38-474).  Per node v the reference assembles an
+m x n constraint matrix Mi and m x nrhs RHS Ni:
+
+  * one "cell row" per surrounding cell K: [dKv | 1] with unit RHS
+    (gls.pyx:269-281),
+  * three "flux rows" per interior face S: normal-flux continuity
+    (-K1^T N at cell1, +K2^T N at cell2), tangential continuity T_sj1, and
+    weighted tangential tau*T_sj2 with tau = ||T_sj2||^(-eta),
+    eta = max(diff_mag of the two cells) (gls.pyx:291-356),
+  * one Neumann row per boundary face for Neumann nodes: -K^T N at the
+    owner cell, RHS = mean neumann value of the face's points
+    (gls.pyx:374-416),
+
+then solves min ||Mi x - Ni|| with LAPACK dgels and keeps only the LAST
+solution row (the reconstructed value at v) per RHS column
+(gls.pyx:466-472).
+
+TPU design (not a port):
+  * Nodes are bucketed by stencil size; each bucket is one fixed-shape
+    batched kernel (static E = max cells, F = max faces).
+  * The ragged structure is replaced by one-hot incidence matrices
+    (S1/S2 = cell-of-face selectors), so the whole assembly is dense
+    einsum work — no scatters.
+  * Zero padding rows are harmless in least squares, so face/Neumann rows
+    are NOT compacted (the reference's idx bookkeeping, gls.pyx:337-356,
+    disappears); identity regularization rows keep padded gradient columns
+    full-rank without perturbing the real solution.
+  * Only the last solution row is ever needed.  With the constant column
+    moved last, weights_j = y . (A^T e_j) where y solves (A^T A) y = e_n —
+    ONE SPD solve per node instead of nrhs least-squares columns, and
+    A^T e_j is analytic (the j-th cell row).  y is obtained by the
+    matmul-only mixed-precision solver in ops/solve.py (fast path) or by
+    float64 Householder QR (exact path, matches dgels rounding).
+
+Reference quirks reproduced (neumann_compat=True, default):
+  * the returned neumann weight is read from the last *cell* column, i.e.
+    it equals the last cell weight (gls.pyx:470-472 reads column
+    w_total-1, not the Neumann column);  neumann_compat=False returns the
+    true Neumann-column weight instead.
+  * nodes with n_bface >= n_face skip matrix assembly (gls.pyx:266-267);
+    the reference then runs dgels on a near-empty system producing
+    unspecified values; here such nodes yield zero weights.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.solve import householder_lastrow, solve_normal_refined
+
+
+# ---------------------------------------------------------------------------
+# Per-bucket kernel
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("E", "F", "n_refine", "exact",
+                                   "neumann_compat"))
+def _gls_bucket_kernel(
+        nodes, valid,                       # (B,), (B,)
+        esup2d, esup_cnt, fsup2d, fsup_cnt, esuf2d,
+        point_coords, centroids, normal_faces, faces_centers,
+        boundary_faces, inpofa,
+        perm, diff_mag, neumann_flag, neumann_val,
+        *, E, F, n_refine=2, exact=False, neumann_compat=True):
+    f64 = jnp.float64
+    B = nodes.shape[0]
+    n = 3 * E + 1
+
+    # ---- gather stencils -------------------------------------------------
+    KSetv = esup2d[nodes, :E]                                   # (B,E)
+    n_elem = jnp.minimum(esup_cnt[nodes], E)                    # (B,)
+    cell_valid = (jnp.arange(E)[None, :] < n_elem[:, None]) & (KSetv >= 0)
+    KS = jnp.where(cell_valid, KSetv, 0)
+
+    Sv = fsup2d[nodes, :F]                                      # (B,F)
+    n_face = jnp.minimum(fsup_cnt[nodes], F)
+    face_valid = (jnp.arange(F)[None, :] < n_face[:, None]) & (Sv >= 0)
+    SF = jnp.where(face_valid, Sv, 0)
+
+    is_neu = neumann_flag[nodes] != 0
+    n_bface = jnp.sum(
+        face_valid & (boundary_faces[SF] != 0), axis=1)
+    skip_build = n_bface >= n_face                              # gls.pyx:266
+    # Dirichlet-boundary nodes are excluded by the caller's bucket mask.
+    active = valid & ~skip_build
+
+    xv = point_coords[nodes]                                    # (B,3)
+
+    # ---- cell rows -------------------------------------------------------
+    dKv = jnp.where(cell_valid[:, :, None],
+                    centroids[KS] - xv[:, None, :], 0.0)        # (B,E,3)
+    # block-diagonal placement: cell_rows[b, e, 3e:3e+3] = dKv[b, e]
+    eyeE = jnp.eye(E, dtype=f64)                                # (E,E)
+    cell_grad = jnp.einsum("ef,bec->befc", eyeE, dKv)           # (B,E,E,3)
+    cell_rows = cell_grad.reshape(B, E, 3 * E)
+    const_col = cell_valid.astype(f64)[:, :, None]              # (B,E,1)
+    cell_rows = jnp.concatenate([cell_rows, const_col], axis=2)  # (B,E,n)
+
+    # ---- face rows -------------------------------------------------------
+    pair = esuf2d[SF][:, :, :2]                                 # (B,F,2)
+    interior = face_valid & (pair[:, :, 1] >= 0)
+    k1 = jnp.where(interior, pair[:, :, 0], 0)
+    k2 = jnp.where(interior, pair[:, :, 1], 0)
+
+    Nf = normal_faces[SF]                                       # (B,F,3)
+    fc = faces_centers[SF]
+    eta = jnp.maximum(diff_mag[k1], diff_mag[k2])
+    T1 = xv[:, None, :] - fc                                    # (B,F,3)
+    T2 = jnp.cross(Nf, T1)
+    T2n = jnp.sqrt(jnp.sum(T2 * T2, axis=2))
+    tau = jnp.where(interior, T2n, 1.0) ** (-eta)
+    tauT2 = tau[:, :, None] * T2
+
+    nL1 = jnp.einsum("bfij,bfi->bfj", perm[k1], Nf)             # K^T N
+    nL2 = jnp.einsum("bfij,bfi->bfj", perm[k2], Nf)
+
+    S1 = (KS[:, None, :] == k1[:, :, None]) & interior[:, :, None] \
+        & cell_valid[:, None, :]                                # (B,F,E)
+    S2 = (KS[:, None, :] == k2[:, :, None]) & interior[:, :, None] \
+        & cell_valid[:, None, :]
+    S1f = S1.astype(f64)
+    S2f = S2.astype(f64)
+    dS = S2f - S1f
+
+    rows1 = (jnp.einsum("bfe,bfc->bfec", -S1f, nL1)
+             + jnp.einsum("bfe,bfc->bfec", S2f, nL2))
+    rows2 = jnp.einsum("bfe,bfc->bfec", dS, T1)
+    rows3 = jnp.einsum("bfe,bfc->bfec", dS, tauT2)
+    face_rows = jnp.stack([rows1, rows2, rows3], axis=2)        # (B,F,3,E,3)
+    face_rows = face_rows.reshape(B, 3 * F, 3 * E)
+    face_rows = jnp.concatenate(
+        [face_rows, jnp.zeros((B, 3 * F, 1), f64)], axis=2)
+
+    # ---- Neumann rows ----------------------------------------------------
+    bmask = face_valid & (boundary_faces[SF] != 0) & is_neu[:, None]
+    owner = jnp.where(bmask, pair[:, :, 0], 0)
+    nLb = jnp.einsum("bfij,bfi->bfj", perm[owner], Nf)
+    Sb = ((KS[:, None, :] == owner[:, :, None])
+          & bmask[:, :, None] & cell_valid[:, None, :]).astype(f64)
+    neu_rows = jnp.einsum("bfe,bfc->bfec", -Sb, nLb).reshape(B, F, 3 * E)
+    neu_rows = jnp.concatenate(
+        [neu_rows, jnp.zeros((B, F, 1), f64)], axis=2)
+    fpts = inpofa[SF]                                           # (B,F,4)
+    fp_valid = fpts >= 0
+    nvals = jnp.where(fp_valid, neumann_val[jnp.where(fp_valid, fpts, 0)],
+                      0.0)
+    nmean = jnp.where(
+        bmask, jnp.sum(nvals, axis=2)
+        / jnp.maximum(jnp.sum(fp_valid, axis=2), 1), 0.0)       # (B,F)
+
+    # ---- regularization rows for padded gradient columns -----------------
+    pad_col = (jnp.arange(3 * E)[None, :] >= 3 * n_elem[:, None])
+    reg_rows = jnp.einsum(
+        "bk,kl->bkl", pad_col.astype(f64), jnp.eye(3 * E, dtype=f64))
+    reg_rows = jnp.concatenate(
+        [reg_rows, jnp.zeros((B, 3 * E, 1), f64)], axis=2)
+
+    # zero everything for skipped nodes (keeps G well-posed via dead-col
+    # handling in the solver; results are masked anyway)
+    amask = active[:, None, None].astype(f64)
+    A = jnp.concatenate([cell_rows * amask, face_rows * amask,
+                         neu_rows * amask, reg_rows], axis=1)   # (B,m,n)
+
+    # ---- solve -----------------------------------------------------------
+    if exact:
+        # augmented [A | RHS]: RHS = [I_E (cell rows); neumann col]
+        m = A.shape[1]
+        rhs_cells = jnp.concatenate(
+            [jnp.eye(E, dtype=f64)[None, :, :]
+             * cell_valid[:, :, None].astype(f64)
+             * active[:, None, None],
+             jnp.zeros((B, m - E, E), f64)], axis=1)            # (B,m,E)
+        rhs_neu = jnp.zeros((B, m, 1), f64)
+        rhs_neu = rhs_neu.at[:, E + 3 * F:E + 4 * F, 0].set(
+            nmean * active[:, None])
+        Aug = jnp.concatenate([A, rhs_cells, rhs_neu], axis=2)
+        last = householder_lastrow(Aug, n)
+        w = last[:, :E]
+        w_neu_correct = last[:, E]
+        rnorm = jnp.zeros((B,), f64)
+    else:
+        b = jnp.zeros((B, n), f64).at[:, n - 1].set(1.0)
+        y, rnorm = solve_normal_refined(A, b, n_refine=n_refine)  # (B,n)
+        # weights_j = (cell row j) . y ;  true neumann w = sum_f nmean *
+        # (neumann row f . y)
+        w = jnp.einsum("ben,bn->be", cell_rows, y)
+        w_neu_correct = jnp.einsum(
+            "bfn,bn->bf", neu_rows, y)
+        w_neu_correct = jnp.sum(nmean * w_neu_correct, axis=1)
+
+    w = jnp.where(active[:, None] & cell_valid, w, 0.0)
+    if neumann_compat:
+        # reference reads the last cell column (gls.pyx:472)
+        last_cell = jnp.take_along_axis(
+            w, jnp.maximum(n_elem - 1, 0)[:, None], axis=1)[:, 0]
+        w_neu = last_cell
+    else:
+        w_neu = w_neu_correct
+    w_neu = jnp.where(active & is_neu, w_neu, 0.0)
+    return w, w_neu, jnp.where(active, rnorm, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Public driver
+# ---------------------------------------------------------------------------
+class GLSInterpolation:
+    """Driver matching the reference's prepare() contract
+    (gls.pyx:38-72)."""
+
+    def __init__(self, logging=False):
+        self.logging = logging
+        self.n_refine = 3
+        self.exact = False
+        self.neumann_compat = True
+        # Nodes whose mixed-precision residual exceeds this are re-solved
+        # on the exact float64 Householder path (rare: float32 Cholesky
+        # breakdown needs cond(A) > ~4e3 after equilibration).
+        self.fallback_tol = 1e-8
+
+    def prepare(self, dgrid, cells_data, points_data, faces_data,
+                variable_to_index, variable, target_points,
+                weights, neumann_ws):
+        grid = dgrid.grid
+        perm_idx = variable_to_index["cells"]["permeability"]
+        diff_idx = variable_to_index["cells"]["diff_mag"]
+        nf_idx = variable_to_index["points"]["neumann_flag_" + variable]
+        nv_idx = variable_to_index["points"]["neumann_" + variable]
+
+        perm = np.reshape(cells_data[perm_idx], (grid.n_elems, 3, 3))
+        diff_mag = cells_data[diff_idx]
+        neumann_flag = points_data[nf_idx].astype(np.int32)
+        neumann_val = points_data[nv_idx]
+
+        target_points = np.asarray(target_points)
+        # active: skip Dirichlet boundary nodes (gls.pyx:165-166)
+        active = ~(grid.boundary_points[target_points].astype(bool)
+                   & (neumann_flag[target_points] == 0))
+
+        perm_d = jnp.asarray(perm)
+        diff_d = jnp.asarray(diff_mag)
+        nflag_d = jnp.asarray(neumann_flag)
+        nval_d = jnp.asarray(neumann_val)
+
+        def run_bucket(bucket, exact):
+            return _gls_bucket_kernel(
+                jnp.asarray(bucket["nodes"]), jnp.asarray(bucket["valid"]),
+                dgrid.esup2d, dgrid.esup_cnt, dgrid.fsup2d, dgrid.fsup_cnt,
+                dgrid.esuf2d, dgrid.point_coords, dgrid.centroids,
+                dgrid.normal_faces, dgrid.faces_centers,
+                dgrid.boundary_faces, dgrid.inpofa,
+                perm_d, diff_d, nflag_d, nval_d,
+                E=bucket["E"], F=bucket["F"], n_refine=self.n_refine,
+                exact=exact, neumann_compat=self.neumann_compat)
+
+        for bucket in dgrid.buckets(target_points, active):
+            w, wn, rnorm = run_bucket(bucket, self.exact)
+            w = np.asarray(w)
+            wn = np.asarray(wn)
+            sel = bucket["valid"]
+            pos = bucket["pos"][sel]
+            E = bucket["E"]
+            ncols = min(E, weights.shape[1])
+            weights[pos, :ncols] = w[sel][:, :ncols]
+            neumann_ws[pos] = wn[sel]
+
+            if not self.exact and self.fallback_tol is not None:
+                # NaN-safe: anything not provably converged goes to the
+                # exact path (nan > tol is False, so use negated <=).
+                bad = sel & ~(np.asarray(rnorm) <= self.fallback_tol)
+                if bad.any():
+                    # Re-solve ill-conditioned stragglers exactly (float64
+                    # Householder); typically a handful of nodes.
+                    nb = int(bad.sum())
+                    Bpad = max(256, int(-(-nb // 256) * 256))
+                    fb = {
+                        "nodes": np.zeros(Bpad, dtype=np.int32),
+                        "valid": np.zeros(Bpad, dtype=bool),
+                        "pos": np.full(Bpad, -1, dtype=np.int64),
+                        "E": bucket["E"], "F": bucket["F"],
+                    }
+                    fb["nodes"][:nb] = bucket["nodes"][bad]
+                    fb["valid"][:nb] = True
+                    fb["pos"][:nb] = bucket["pos"][bad]
+                    w2, wn2, _ = run_bucket(fb, True)
+                    w2 = np.asarray(w2)[:nb]
+                    wn2 = np.asarray(wn2)[:nb]
+                    bpos = fb["pos"][:nb]
+                    weights[bpos, :ncols] = w2[:, :ncols]
+                    neumann_ws[bpos] = wn2
+        return weights, neumann_ws

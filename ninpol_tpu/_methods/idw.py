@@ -1,0 +1,77 @@
+"""Inverse-distance-weighting node interpolation — vmapped TPU kernel.
+
+Behavioral rebuild of ninpol/_methods/idw.pyx:35-84:
+  * weight_j = (1/dist(node, centroid_j)) / sum_k 1/dist, over the node's
+    surrounding cells in esup order,
+  * exact-hit: the FIRST cell with squared distance <= float32(1e-15)
+    gets weight 1 and all others 0 (idw.pyx:69-74),
+  * Dirichlet boundary nodes (boundary and not Neumann) are skipped
+    (idw.pyx:62-63) and never write the Neumann vector,
+  * distances use only the first ``dim`` coordinates (idw.pyx:66-67).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_EXACT_EPS = float(np.float32(1e-15))  # idw.pyx:53 (C float of 1e-15)
+
+
+@partial(jax.jit, static_argnames=("E", "dim"))
+def _idw_bucket_kernel(nodes, valid, esup2d, esup_cnt,
+                       point_coords, centroids, *, E, dim):
+    KSetv = esup2d[nodes, :E]
+    n_elem = jnp.minimum(esup_cnt[nodes], E)
+    cell_valid = (jnp.arange(E)[None, :] < n_elem[:, None]) & (KSetv >= 0)
+    KS = jnp.where(cell_valid, KSetv, 0)
+
+    xv = point_coords[nodes][:, :dim]
+    xc = centroids[KS][:, :, :dim]
+    d2 = jnp.sum((xv[:, None, :] - xc) ** 2, axis=2)          # (B,E)
+
+    hit = cell_valid & (d2 <= _EXACT_EPS)
+    any_hit = jnp.any(hit, axis=1)
+    first_hit = jnp.argmax(hit, axis=1)
+
+    d = jnp.sqrt(jnp.where(cell_valid, d2, 1.0))
+    inv = jnp.where(cell_valid, 1.0 / d, 0.0)
+    w = inv / jnp.sum(inv, axis=1, keepdims=True)
+
+    onehot = (jnp.arange(E)[None, :] == first_hit[:, None]).astype(w.dtype)
+    w = jnp.where(any_hit[:, None], onehot, w)
+    return jnp.where(valid[:, None] & cell_valid, w, 0.0)
+
+
+class IDWInterpolation:
+    """Driver matching the reference prepare() contract (idw.pyx:14-30)."""
+
+    def __init__(self, logging=False):
+        self.logging = logging
+
+    def prepare(self, dgrid, cells_data, points_data, faces_data,
+                variable_to_index, variable, target_points,
+                weights, neumann_ws):
+        grid = dgrid.grid
+        nf_idx = variable_to_index["points"]["neumann_flag_" + variable]
+        neumann_flag = points_data[nf_idx].astype(np.int64)
+
+        target_points = np.asarray(target_points)
+        active = ~(grid.boundary_points[target_points].astype(bool)
+                   & (neumann_flag[target_points] == 0))
+
+        for bucket in dgrid.buckets(target_points, active, need_faces=False):
+            w = _idw_bucket_kernel(
+                jnp.asarray(bucket["nodes"]), jnp.asarray(bucket["valid"]),
+                dgrid.esup2d, dgrid.esup_cnt,
+                dgrid.point_coords, dgrid.centroids,
+                E=bucket["E"], dim=grid.dim)
+            w = np.asarray(w)
+            sel = bucket["valid"]
+            pos = bucket["pos"][sel]
+            ncols = min(bucket["E"], weights.shape[1])
+            weights[pos, :ncols] = w[sel][:, :ncols]
+        # IDW never writes neumann_ws (idw.pyx has no neumann output).
+        return weights, neumann_ws

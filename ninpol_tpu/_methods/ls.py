@@ -1,0 +1,120 @@
+"""Least-squares (linear-fit) node interpolation — vmapped TPU kernel.
+
+Behavioral rebuild of ninpol/_methods/ls.pyx:33-136: an unweighted linear
+least-squares fit over the surrounding cell centroids, solved with the
+hand-rolled 3x3 cofactor formulas of the reference:
+
+  * moments Ix..Izz of the centroid offsets (ls.pyx:64-77),
+  * 2D degeneracy guard: Izz=1 when all z-moments vanish (ls.pyx:79-80),
+  * lambda_x/y/z via the cofactor expressions (ls.pyx:108-124) —
+    reproduced verbatim so roundoff matches,
+  * weight_i = (1 + lambda . dv_i) / (n + lambda . I) (ls.pyx:126-136),
+  * D == 0 -> plain inverse-distance fallback weights (ls.pyx:88-102;
+    note: unlike IDW there is no exact-hit handling, distances use all 3
+    coordinates),
+  * Dirichlet boundary nodes skipped (ls.pyx:58-59).
+
+Exact for linear fields; never writes the Neumann vector.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("E",))
+def _ls_bucket_kernel(nodes, valid, esup2d, esup_cnt,
+                      point_coords, centroids, *, E):
+    KSetv = esup2d[nodes, :E]
+    n_elem = jnp.minimum(esup_cnt[nodes], E)
+    cell_valid = (jnp.arange(E)[None, :] < n_elem[:, None]) & (KSetv >= 0)
+    KS = jnp.where(cell_valid, KSetv, 0)
+
+    xv = point_coords[nodes]                                  # (B,3)
+    dv = jnp.where(cell_valid[:, :, None],
+                   centroids[KS] - xv[:, None, :], 0.0)       # (B,E,3)
+
+    Ix = jnp.sum(dv[:, :, 0], axis=1)
+    Iy = jnp.sum(dv[:, :, 1], axis=1)
+    Iz = jnp.sum(dv[:, :, 2], axis=1)
+    Ixx = jnp.sum(dv[:, :, 0] * dv[:, :, 0], axis=1)
+    Ixy = jnp.sum(dv[:, :, 0] * dv[:, :, 1], axis=1)
+    Ixz = jnp.sum(dv[:, :, 0] * dv[:, :, 2], axis=1)
+    Iyy = jnp.sum(dv[:, :, 1] * dv[:, :, 1], axis=1)
+    Iyz = jnp.sum(dv[:, :, 1] * dv[:, :, 2], axis=1)
+    Izz = jnp.sum(dv[:, :, 2] * dv[:, :, 2], axis=1)
+
+    guard = (Iz == 0.0) & (Izz == 0.0) & (Ixz == 0.0) & (Iyz == 0.0)
+    Izz = jnp.where(guard, 1.0, Izz)                          # ls.pyx:79-80
+
+    D = (Ixx * (Iyy * Izz - Iyz * Iyz)
+         + Ixy * (Iyz * Ixz - Ixy * Izz)
+         + Ixz * (Ixy * Iyz - Iyy * Ixz))
+
+    # Degeneracy test.  The reference compares D == 0.0 exactly
+    # (ls.pyx:88), which at rank-deficient stencils depends on summation
+    # rounding luck; a threshold relative to the term magnitudes makes the
+    # branch deterministic and only differs where the reference output is
+    # itself arbitrary.
+    Dabs = (jnp.abs(Ixx) * (jnp.abs(Iyy * Izz) + Iyz * Iyz)
+            + jnp.abs(Ixy) * (jnp.abs(Iyz * Ixz) + jnp.abs(Ixy * Izz))
+            + jnp.abs(Ixz) * (jnp.abs(Ixy * Iyz) + jnp.abs(Iyy * Ixz)))
+    is_degen = jnp.abs(D) <= 1e-12 * Dabs
+    Dsafe = jnp.where(is_degen, 1.0, D)
+    lx = (Ix * (Iyz * Iyz - Iyy * Izz)
+          + Iy * (Ixy * Izz - Iyz * Ixz)
+          + Iz * (Iyy * Ixz - Ixy * Iyz)) / Dsafe
+    ly = (Ix * (Ixy * Izz - Iyz * Ixz)
+          + Iy * (Ixz * Ixz - Ixx * Izz)
+          + Iz * (Ixx * Iyz - Ixy * Ixz)) / Dsafe
+    lz = (Ix * (Iyy * Ixz - Ixy * Iyz)
+          + Iy * (Ixx * Iyz - Ixy * Ixz)
+          + Iz * (Ixy * Ixy - Ixx * Iyy)) / Dsafe
+
+    denom = (n_elem.astype(dv.dtype)
+             + lx * Ix + ly * Iy + lz * Iz)
+    w_ls = (1.0 + lx[:, None] * dv[:, :, 0]
+            + ly[:, None] * dv[:, :, 1]
+            + lz[:, None] * dv[:, :, 2]) / denom[:, None]
+
+    # D == 0 fallback: plain 1/dist normalization (ls.pyx:88-102)
+    dist = jnp.sqrt(jnp.sum(dv * dv, axis=2))
+    inv = jnp.where(cell_valid, 1.0 / jnp.where(cell_valid, dist, 1.0), 0.0)
+    w_idw = inv / jnp.sum(inv, axis=1, keepdims=True)
+
+    w = jnp.where(is_degen[:, None], w_idw, w_ls)
+    return jnp.where(valid[:, None] & cell_valid, w, 0.0)
+
+
+class LSInterpolation:
+    """Driver matching the reference prepare() contract (ls.pyx:21-31)."""
+
+    def __init__(self, logging=False):
+        self.logging = logging
+
+    def prepare(self, dgrid, cells_data, points_data, faces_data,
+                variable_to_index, variable, target_points,
+                weights, neumann_ws):
+        grid = dgrid.grid
+        nf_idx = variable_to_index["points"]["neumann_flag_" + variable]
+        neumann_flag = points_data[nf_idx].astype(np.int64)
+
+        target_points = np.asarray(target_points)
+        active = ~(grid.boundary_points[target_points].astype(bool)
+                   & (neumann_flag[target_points] == 0))
+
+        for bucket in dgrid.buckets(target_points, active, need_faces=False):
+            w = _ls_bucket_kernel(
+                jnp.asarray(bucket["nodes"]), jnp.asarray(bucket["valid"]),
+                dgrid.esup2d, dgrid.esup_cnt,
+                dgrid.point_coords, dgrid.centroids,
+                E=bucket["E"])
+            w = np.asarray(w)
+            sel = bucket["valid"]
+            pos = bucket["pos"][sel]
+            ncols = min(bucket["E"], weights.shape[1])
+            weights[pos, :ncols] = w[sel][:, :ncols]
+        return weights, neumann_ws
