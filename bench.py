@@ -1,0 +1,177 @@
+"""Headline benchmark: GLS node weights on a ~1M-cell tet mesh, one TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <Mnodes/s>, "unit": "Mnodes/s",
+   "vs_baseline": <ratio vs the Cython reference>}
+
+Reference baseline (BASELINE.md): Cython GLS on tetra meshes runs at
+309,293 points / 14.325 s = 0.0216 Mnodes/s (mesh-size independent for the
+structured tet family; <=16 OpenMP threads).  vs_baseline is our measured
+throughput divided by that.
+
+Accuracy companion numbers (also printed on stderr and embedded in the
+JSON as extra keys): max relative error of the mixed-precision path vs the
+exact float64 Householder path (which the test suite pins to LAPACK dgels
+within ~1e-13) on a node subsample, plus grid build time.
+
+Scale knobs via env: NINPOL_BENCH_N (default 55 -> 6*55^3 = 997,875 cells).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_MNODES_S = 309293 / 14.325 / 1e6   # Cython tetra GLS throughput
+
+
+def build_problem(n):
+    """~6n^3-cell tet mesh with an ALH-style varying full-tensor K and a
+    seeded Dirichlet/Neumann boundary split (no sympy: flux evaluated from
+    the closed-form gradient of u = x^2 + y^2 + z^2)."""
+    import ninpol_tpu
+    from ninpol_tpu.utils import meshgen
+    from ninpol_tpu._grid import geometry
+
+    mesh = meshgen.tetra_mesh(n)
+    pts = mesh.points
+    cells = mesh.cells[0].data
+    cents = pts[cells].mean(axis=1)
+    x, y, z = cents[:, 0], cents[:, 1], cents[:, 2]
+    K = np.zeros((len(cells), 3, 3))
+    K[:, 0, 0] = y * y + z * z + 1
+    K[:, 0, 1] = K[:, 1, 0] = -x * y
+    K[:, 0, 2] = K[:, 2, 0] = -x * z
+    K[:, 1, 1] = x * x + z * z + 1
+    K[:, 1, 2] = K[:, 2, 1] = -y * z
+    K[:, 2, 2] = x * x + y * y + 1
+    sol = x ** 2 + y ** 2 + z ** 2
+
+    interp = ninpol_tpu.Interpolator()
+    mesh.cell_data = {"permeability": [K.reshape(-1, 9)], "u": [sol]}
+    mesh.point_data = {}
+    t0 = time.perf_counter()
+    interp.load_mesh(mesh_obj=mesh)
+    build_time = time.perf_counter() - t0
+    grid = interp.grid
+
+    # boundary split (seeded), Neumann flux g = -(K grad u).n with
+    # grad u = 2*(x,y,z) evaluated at boundary-face centers
+    rng = np.random.default_rng(0)
+    boundary = np.nonzero(grid.boundary_faces)[0]
+    ridx = rng.choice(len(boundary), len(boundary) // 2, replace=False)
+    neumann_faces = np.setdiff1d(boundary, boundary[ridx])
+
+    pv = np.zeros(grid.n_points)
+    dpts = grid.inpofa[boundary[ridx]].ravel()
+    np.add.at(pv, dpts[dpts != -1], 1)
+    npts = grid.inpofa[neumann_faces].ravel()
+    np.add.at(pv, npts[npts != -1], -1)
+    bpts = np.nonzero(grid.boundary_points)[0]
+    neumann_points = bpts[pv[bpts] < 0]
+
+    owners = grid.esuf[grid.esuf_ptr[boundary]]
+    fc = grid.faces_centers[boundary]
+    Ko = K[owners] if len(K) == grid.n_elems else None
+    Kc = build_K_at(fc) if Ko is None else Ko
+    gradu = 2 * fc
+    flux = -np.einsum("fij,fj->fi", Kc, gradu)
+    nval_faces = np.zeros(grid.n_faces)
+    nval_faces[boundary] = np.einsum(
+        "fi,fi->f", flux, grid.normal_faces[boundary])
+
+    counts = np.diff(grid.fsup_ptr)
+    owner_pt = np.repeat(np.arange(grid.n_points), counts)
+    sums = np.bincount(owner_pt, weights=nval_faces[grid.fsup],
+                       minlength=grid.n_points)
+    neumann = np.zeros(grid.n_points)
+    neumann[neumann_points] = (sums / np.maximum(counts, 1))[neumann_points]
+    nflag = np.zeros(grid.n_points)
+    nflag[neumann_points] = 1
+
+    interp.load_data({
+        "neumann_u": neumann, "neumann_flag_u": nflag,
+        "dirichlet_flag_u": 1 - nflag,
+    }, "points")
+    return interp, build_time
+
+
+def build_K_at(p):  # pragma: no cover - only for safety above
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    K = np.zeros((len(p), 3, 3))
+    K[:, 0, 0] = y * y + z * z + 1
+    K[:, 1, 1] = x * x + z * z + 1
+    K[:, 2, 2] = x * x + y * y + 1
+    return K
+
+
+def main():
+    n = int(os.environ.get("NINPOL_BENCH_N", "55"))
+    t_all = time.perf_counter()
+    interp, build_time = build_problem(n)
+    grid = interp.grid
+    n_points = grid.n_points
+    n_cells = grid.n_elems
+    print(f"# mesh: {n_cells} cells, {n_points} points; "
+          f"grid build {build_time:.2f}s", file=sys.stderr)
+
+    tp = np.arange(n_points)
+    # warmup (compiles + device-grid upload)
+    t0 = time.perf_counter()
+    interp.prepare_interpolator("gls", "u", tp)
+    warm = time.perf_counter() - t0
+    print(f"# warmup (incl. compile): {warm:.2f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        W, NW = interp.prepare_interpolator("gls", "u", tp)
+        times.append(time.perf_counter() - t0)
+    t_gls = min(times)
+    mnodes = n_points / t_gls / 1e6
+    print(f"# GLS weights: {t_gls:.3f}s -> {mnodes:.3f} Mnodes/s "
+          f"(runs: {[round(t, 3) for t in times]})", file=sys.stderr)
+
+    # accuracy: mixed path vs exact float64 Householder on a subsample
+    rng = np.random.default_rng(1)
+    interior = np.nonzero(~grid.boundary_points.astype(bool))[0]
+    sub = rng.choice(interior, min(4096, len(interior)), replace=False)
+    Wm, _ = interp.prepare_interpolator("gls", "u", sub)
+    interp.gls.exact = True
+    We, _ = interp.prepare_interpolator("gls", "u", sub)
+    interp.gls.exact = False
+    scale = max(np.abs(We).max(), 1.0)
+    max_rel_err = float(np.abs(Wm - We).max() / scale)
+    print(f"# max rel err (mixed vs exact f64/dgels-equivalent, "
+          f"{len(sub)} nodes): {max_rel_err:.3e}", file=sys.stderr)
+
+    # full end-to-end CSR (info)
+    t0 = time.perf_counter()
+    W, NW = interp.interpolate("u", "gls")
+    t_csr = time.perf_counter() - t0
+    print(f"# end-to-end interpolate (kernel + CSR assembly): {t_csr:.3f}s; "
+          f"nnz={W.nnz}", file=sys.stderr)
+    print(f"# total bench wall time: {time.perf_counter() - t_all:.1f}s",
+          file=sys.stderr)
+
+    result = {
+        "metric": ("GLS node-weights throughput, ~1M-cell tet mesh, "
+                   "single TPU chip (max rel err vs dgels-equivalent in "
+                   "max_rel_err key)"),
+        "value": round(mnodes, 4),
+        "unit": "Mnodes/s",
+        "vs_baseline": round(mnodes / BASELINE_MNODES_S, 2),
+        "max_rel_err": max_rel_err,
+        "grid_build_s": round(build_time, 3),
+        "gls_time_s": round(t_gls, 4),
+        "n_cells": int(n_cells),
+        "n_points": int(n_points),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

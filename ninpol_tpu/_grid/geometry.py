@@ -23,31 +23,36 @@ import numpy as np
 from ..defines import DTYPE_F
 
 
-def calculate_centroids(point_coords, connectivity, element_types, npoel, dim):
+def calculate_centroids(point_coords, connectivity, element_types, npoel,
+                        dim):
     """Element centroids = average of the element's points
-    (reference: grid.pyx:669-704)."""
+    (reference: grid.pyx:669-704).
+
+    Processed per element type so the hot path is unmasked slicing/gather
+    (the reference accumulates coord/npoel term by term; the float64
+    summation-order difference is ~1e-16, far below the 1e-10 budget).
+    """
     n_elems = connectivity.shape[0]
-    counts = npoel[element_types].astype(DTYPE_F)        # (E,)
-    valid = (np.arange(connectivity.shape[1])[None, :] <
-             npoel[element_types][:, None])
-    coords = point_coords[np.clip(connectivity, 0, None)]  # (E, 8, 3)
-    # The reference accumulates coord/npoel term by term; with float64 the
-    # summation-order difference is ~1e-16 and far below the 1e-10 budget.
-    contrib = np.where(valid[:, :, None], coords, 0.0) / counts[:, None, None]
     centroids = np.zeros((n_elems, 3), dtype=DTYPE_F)
-    centroids[:, :dim] = contrib.sum(axis=1)[:, :dim]
+    for t in np.unique(element_types):
+        k = int(npoel[t])
+        sel = element_types == t
+        conn_t = connectivity[sel, :k]
+        cent = point_coords[conn_t.ravel()].reshape(-1, k, 3).sum(axis=1)
+        centroids[sel, :dim] = cent[:, :dim] / k
     return centroids
 
 
 def calculate_face_centers(point_coords, inpofa, dim):
     """Face centers = average of the face's points (grid.pyx:706-717)."""
     n_faces = inpofa.shape[0]
-    valid = inpofa >= 0
-    counts = valid.sum(axis=1).astype(DTYPE_F)
-    coords = point_coords[np.clip(inpofa, 0, None)]      # (F, 4, 3)
-    s = np.where(valid[:, :, None], coords, 0.0).sum(axis=1)
     centers = np.zeros((n_faces, 3), dtype=DTYPE_F)
-    centers[:, :dim] = s[:, :dim] / counts[:, None]
+    counts = (inpofa >= 0).sum(axis=1)
+    for k in np.unique(counts):
+        sel = counts == k
+        conn = inpofa[sel, :k]
+        s = point_coords[conn.ravel()].reshape(-1, k, 3).sum(axis=1)
+        centers[sel, :dim] = s[:, :dim] / k
     return centers
 
 

@@ -37,6 +37,11 @@ import numpy as np
 from ..defines import (DTYPE_F, DTYPE_I, MAX_EDGES_PER_ELEMENT,
                        MAX_FACES_PER_ELEMENT, MAX_POINTS_PER_EDGE,
                        MAX_POINTS_PER_FACE)
+from .. import native
+
+
+def _c(a):
+    return np.ascontiguousarray(a, dtype=DTYPE_I)
 
 
 def _csr_from_pairs(owners, values, n_owners):
@@ -56,6 +61,14 @@ def _csr_from_pairs(owners, values, n_owners):
 def build_esup(connectivity, element_types, npoel, n_points):
     """Elements-surrounding-point CSR (reference: grid.pyx:233-267)."""
     n_elems = connectivity.shape[0]
+    if native.available():
+        total = int(npoel[element_types].sum())
+        ptr = np.zeros(n_points + 1, dtype=DTYPE_I)
+        data = np.zeros(total, dtype=DTYPE_I)
+        native.lib().build_esup(
+            n_elems, n_points, connectivity.shape[1],
+            _c(connectivity), _c(element_types), _c(npoel), ptr, data)
+        return ptr, data
     valid = connectivity >= 0
     # Only the first npoel[type] slots are valid per the reference loop;
     # for well-formed meshes that equals the -1 padding mask.
@@ -73,6 +86,15 @@ def build_esup(connectivity, element_types, npoel, n_points):
 def build_psup(esup_ptr, esup, connectivity, element_types, npoel, n_points):
     """Points-surrounding-point CSR, first-occurrence dedup order
     (reference: grid.pyx:269-302)."""
+    if native.available():
+        cap = int(len(esup)) * (connectivity.shape[1] - 1) + 1
+        ptr = np.zeros(n_points + 1, dtype=DTYPE_I)
+        data = np.zeros(cap, dtype=DTYPE_I)
+        total = native.lib().build_psup(
+            connectivity.shape[0], n_points, connectivity.shape[1],
+            _c(connectivity), _c(element_types), _c(npoel),
+            _c(esup_ptr), _c(esup), ptr, data)
+        return ptr, data[:total].copy()
     # Expand: for each (point i, esup slot) -> all points of that element.
     reps = npoel[element_types[esup]]                    # pts per esup entry
     own_per_entry = np.repeat(
@@ -124,6 +146,26 @@ def build_faces(connectivity, element_types, nfael, lnofa, lpofa, n_points):
     """
     n_elems = connectivity.shape[0]
     F = MAX_FACES_PER_ELEMENT
+    if native.available():
+        cap = n_elems * F
+        infael = np.empty((n_elems, F), dtype=DTYPE_I)
+        inpofa = np.empty((cap, MAX_POINTS_PER_FACE), dtype=DTYPE_I)
+        esuel = np.empty((n_elems, F), dtype=DTYPE_I)
+        bfaces = np.zeros(cap, dtype=DTYPE_I)
+        bpoints = np.zeros(n_points, dtype=DTYPE_I)
+        n_faces = native.lib().build_faces(
+            n_elems, n_points, connectivity.shape[1],
+            _c(connectivity), _c(element_types), _c(nfael),
+            _c(lnofa), _c(lpofa), F, MAX_POINTS_PER_FACE,
+            infael, inpofa, esuel, bfaces, bpoints)
+        return {
+            "n_faces": int(n_faces),
+            "infael": infael,
+            "inpofa": inpofa[:n_faces].copy(),
+            "esuel": esuel,
+            "boundary_faces": bfaces[:n_faces].copy(),
+            "boundary_points": bpoints,
+        }
 
     etypes = element_types
     valid = (np.arange(F)[None, :] < nfael[etypes][:, None])  # (E, F)
@@ -209,6 +251,12 @@ def build_faces(connectivity, element_types, nfael, lnofa, lpofa, n_points):
 def build_fsup(inpofa, n_points):
     """Faces-surrounding-point CSR (reference: grid.pyx:347-379)."""
     n_faces = inpofa.shape[0]
+    if native.available():
+        total = int((inpofa >= 0).sum())
+        ptr = np.zeros(n_points + 1, dtype=DTYPE_I)
+        data = np.zeros(total, dtype=DTYPE_I)
+        native.lib().build_fsup(n_faces, n_points, _c(inpofa), ptr, data)
+        return ptr, data
     valid = inpofa >= 0
     faces = np.broadcast_to(
         np.arange(n_faces, dtype=DTYPE_I)[:, None], inpofa.shape)[valid]
@@ -219,6 +267,14 @@ def build_fsup(inpofa, n_points):
 def build_esuf(infael, element_types, nfael, n_faces):
     """Elements-surrounding-face CSR (reference: grid.pyx:381-416)."""
     n_elems = infael.shape[0]
+    if native.available():
+        total = int(nfael[element_types].sum())
+        ptr = np.zeros(n_faces + 1, dtype=DTYPE_I)
+        data = np.zeros(total, dtype=DTYPE_I)
+        native.lib().build_esuf(
+            n_elems, n_faces, infael.shape[1],
+            _c(infael), _c(element_types), _c(nfael), ptr, data)
+        return ptr, data
     valid = (np.arange(infael.shape[1])[None, :] <
              nfael[element_types][:, None]) & (infael >= 0)
     elems = np.broadcast_to(
@@ -237,6 +293,16 @@ def build_edges(connectivity, element_types, nedel, lpoed, n_points):
     """
     n_elems = connectivity.shape[0]
     Emax = MAX_EDGES_PER_ELEMENT
+    if native.available():
+        cap = n_elems * Emax
+        inedel = np.empty((n_elems, Emax), dtype=DTYPE_I)
+        inpoed = np.empty((cap, MAX_POINTS_PER_EDGE), dtype=DTYPE_I)
+        n_edges = native.lib().build_edges(
+            n_elems, n_points, connectivity.shape[1],
+            _c(connectivity), _c(element_types), _c(nedel), _c(lpoed),
+            Emax, inedel, inpoed)
+        return {"n_edges": int(n_edges), "inedel": inedel,
+                "inpoed": inpoed[:n_edges].copy()}
     etypes = element_types
     valid = np.arange(Emax)[None, :] < nedel[etypes][:, None]
 

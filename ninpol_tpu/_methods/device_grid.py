@@ -63,16 +63,23 @@ class DeviceGrid:
 
     # ------------------------------------------------------------------
     def buckets(self, target_points, active_mask, need_faces=True,
-                max_buckets=3, min_bucket=2048, batch_align=256):
+                max_buckets=3, min_bucket=2048, batch_align=256,
+                chunk_size=8192, chunk_elems=None):
         """Split (positions into target_points) of *active* nodes into
-        stencil-size buckets.
+        fixed-shape work chunks.
 
         Returns a list of dicts with:
           pos      positions into the target array (np.int64, padded with -1)
           nodes    global node ids (np.int32, padded with 0, masked inactive)
+          valid    mask of real entries
           E, F     static per-bucket stencil paddings (multiples of 4)
-        Bucket shape classes are quantile-based but rounded to multiples of
-        4 so recompilation across meshes stays bounded.
+
+        Nodes are first classed into stencil-size buckets (quantile cuts on
+        n_elem, rounded to multiples of 4 to bound recompilation across
+        meshes), then each bucket is sliced into chunks of at most
+        ``chunk_size`` nodes so kernel working memory stays bounded
+        (a full 1M-cell mesh in one batch would exceed HBM).  All full
+        chunks share one compiled shape.
         """
         target_points = np.asarray(target_points)
         pos_all = np.nonzero(active_mask)[0]
@@ -83,16 +90,13 @@ class DeviceGrid:
         nf = (self.fsup_cnt_h[nodes_all].astype(np.int64)
               if need_faces else np.zeros_like(ne))
 
-        # size class = max stencil dims rounded up; quantile thresholds on
-        # the dominant dimension (n_elem).
         qs = [0.5, 0.85, 1.0][-max_buckets:]
         cuts = sorted({_round_up(np.quantile(ne, q), 4) for q in qs})
-        buckets = []
         assigned = np.full(len(pos_all), -1)
         for ci, cut in enumerate(cuts):
             sel = (assigned < 0) & (ne <= cut)
             assigned[sel] = ci
-        # merge tiny buckets upward
+
         out = []
         carry = np.zeros(len(pos_all), dtype=bool)
         for ci, cut in enumerate(cuts):
@@ -106,11 +110,27 @@ class DeviceGrid:
             E = _round_up(ne[sel].max(), 4)
             F = _round_up(nf[sel].max(), 4) if need_faces else 0
             p = pos_all[sel]
-            B = _round_up(len(p), batch_align)
-            pos = np.full(B, -1, dtype=np.int64)
-            pos[:len(p)] = p
-            nodes = np.zeros(B, dtype=np.int32)
-            nodes[:len(p)] = nodes_all[sel]
-            out.append({"pos": pos, "nodes": nodes, "E": E, "F": F,
-                        "valid": pos >= 0})
+            nsel = nodes_all[sel]
+            csize = chunk_size
+            if chunk_elems is not None:
+                # bound kernel working set: B * m * n matrix elements
+                # (float64 is software-emulated on TPU and costs several
+                # buffers per element, so the budget is deliberately low)
+                m_pad = 4 * E + 4 * F
+                n_pad = 3 * E + 1
+                csize = max(batch_align, min(
+                    chunk_size,
+                    chunk_elems // (m_pad * n_pad) // batch_align
+                    * batch_align))
+            for lo in range(0, len(p), csize):
+                pc = p[lo:lo + csize]
+                nc = nsel[lo:lo + csize]
+                B = (csize if len(pc) == csize
+                     else _round_up(len(pc), batch_align))
+                pos = np.full(B, -1, dtype=np.int64)
+                pos[:len(pc)] = pc
+                nodes = np.zeros(B, dtype=np.int32)
+                nodes[:len(pc)] = nc
+                out.append({"pos": pos, "nodes": nodes, "E": E, "F": F,
+                            "valid": pos >= 0})
         return out

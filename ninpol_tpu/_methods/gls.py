@@ -221,6 +221,10 @@ class GLSInterpolation:
         # on the exact float64 Householder path (rare: float32 Cholesky
         # breakdown needs cond(A) > ~4e3 after equilibration).
         self.fallback_tol = 1e-8
+        # Working-set budget per kernel launch (B*m*n matrix elements);
+        # float64 emulation on TPU inflates bytes/element heavily, so this
+        # is tuned to keep peak HBM below ~8GB for the largest buckets.
+        self.chunk_elems = int(5e7)
 
     def prepare(self, dgrid, cells_data, points_data, faces_data,
                 variable_to_index, variable, target_points,
@@ -257,8 +261,14 @@ class GLSInterpolation:
                 E=bucket["E"], F=bucket["F"], n_refine=self.n_refine,
                 exact=exact, neumann_compat=self.neumann_compat)
 
-        for bucket in dgrid.buckets(target_points, active):
-            w, wn, rnorm = run_bucket(bucket, self.exact)
+        # Dispatch all chunks asynchronously first (JAX queues them), then
+        # fetch: hides per-dispatch latency behind device compute.
+        launched = [(bucket, run_bucket(bucket, self.exact))
+                    for bucket in dgrid.buckets(
+                        target_points, active,
+                        chunk_elems=self.chunk_elems)]
+
+        for bucket, (w, wn, rnorm) in launched:
             w = np.asarray(w)
             wn = np.asarray(wn)
             sel = bucket["valid"]

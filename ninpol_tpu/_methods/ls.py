@@ -106,12 +106,16 @@ class LSInterpolation:
         active = ~(grid.boundary_points[target_points].astype(bool)
                    & (neumann_flag[target_points] == 0))
 
-        for bucket in dgrid.buckets(target_points, active, need_faces=False):
-            w = _ls_bucket_kernel(
+        launched = [
+            (bucket, _ls_bucket_kernel(
                 jnp.asarray(bucket["nodes"]), jnp.asarray(bucket["valid"]),
                 dgrid.esup2d, dgrid.esup_cnt,
                 dgrid.point_coords, dgrid.centroids,
-                E=bucket["E"])
+                E=bucket["E"]))
+            for bucket in dgrid.buckets(target_points, active,
+                                        need_faces=False, chunk_size=131072)
+        ]
+        for bucket, w in launched:
             w = np.asarray(w)
             sel = bucket["valid"]
             pos = bucket["pos"][sel]

@@ -1,0 +1,251 @@
+// Native mesh-topology engine.
+//
+// C++ rebuild of the reference's Cython/C++ grid builder
+// (ninpol/_interpolator/grid.pyx:142-580, compiled with -O3 there), used
+// as the fast path for the one-time host-side topology construction; the
+// NumPy implementation in _grid/topology.py is the portable fallback and
+// correctness oracle.  Output orderings are identical:
+//   - esup/psup/fsup/esuf CSR fill orders match the reference loops,
+//   - faces/edges are numbered by first encounter in (element, local-slot)
+//     order; the reference's robin_hood hash dedup becomes a
+//     std::unordered_map with exact 4-point keys (no hash-collision risk).
+//
+// Exposed as a C ABI consumed via ctypes (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+using i64 = int64_t;
+
+namespace {
+
+struct FaceKey {
+    i64 a, b, c, d;  // sorted point ids (-1 padding sorts first)
+    bool operator==(const FaceKey& o) const {
+        return a == o.a && b == o.b && c == o.c && d == o.d;
+    }
+};
+
+struct FaceKeyHash {
+    size_t operator()(const FaceKey& k) const {
+        // splitmix-style combine
+        uint64_t h = 0x9e3779b97f4a7c15ull;
+        for (uint64_t v : {(uint64_t)k.a, (uint64_t)k.b,
+                           (uint64_t)k.c, (uint64_t)k.d}) {
+            v *= 0xbf58476d1ce4e5b9ull;
+            v ^= v >> 27;
+            h = (h ^ v) * 0x94d049bb133111ebull;
+        }
+        return (size_t)h;
+    }
+};
+
+inline void sort4(i64* p) {
+    // sorting network for 4 elements
+    auto cswap = [](i64& x, i64& y) { if (x > y) std::swap(x, y); };
+    cswap(p[0], p[1]); cswap(p[2], p[3]);
+    cswap(p[0], p[2]); cswap(p[1], p[3]);
+    cswap(p[1], p[2]);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Elements surrounding each point (reference grid.pyx:233-267).
+// conn: (n_elems, stride) padded with -1; npoel per element type.
+void build_esup(i64 n_elems, i64 n_points, i64 stride,
+                const i64* conn, const i64* etypes, const i64* npoel,
+                i64* esup_ptr /*n_points+1*/, i64* esup /*total*/) {
+    std::memset(esup_ptr, 0, sizeof(i64) * (n_points + 1));
+    for (i64 e = 0; e < n_elems; ++e) {
+        const i64 np = npoel[etypes[e]];
+        const i64* row = conn + e * stride;
+        for (i64 j = 0; j < np; ++j) esup_ptr[row[j] + 1]++;
+    }
+    for (i64 p = 0; p < n_points; ++p) esup_ptr[p + 1] += esup_ptr[p];
+    for (i64 e = 0; e < n_elems; ++e) {
+        const i64 np = npoel[etypes[e]];
+        const i64* row = conn + e * stride;
+        for (i64 j = 0; j < np; ++j) esup[esup_ptr[row[j]]++] = e;
+    }
+    for (i64 p = n_points; p > 0; --p) esup_ptr[p] = esup_ptr[p - 1];
+    esup_ptr[0] = 0;
+}
+
+// Points surrounding each point, first-occurrence dedup
+// (reference grid.pyx:269-302).  psup must be sized for the upper bound
+// (esup total * (max points per element - 1)); returns actual length.
+i64 build_psup(i64 n_elems, i64 n_points, i64 stride,
+               const i64* conn, const i64* etypes, const i64* npoel,
+               const i64* esup_ptr, const i64* esup,
+               i64* psup_ptr /*n_points+1*/, i64* psup) {
+    std::vector<i64> last_seen(n_points, -1);
+    i64 stor = 0;
+    psup_ptr[0] = 0;
+    for (i64 p = 0; p < n_points; ++p) {
+        for (i64 k = esup_ptr[p]; k < esup_ptr[p + 1]; ++k) {
+            const i64 e = esup[k];
+            const i64 np = npoel[etypes[e]];
+            const i64* row = conn + e * stride;
+            for (i64 j = 0; j < np; ++j) {
+                const i64 q = row[j];
+                if (q != p && last_seen[q] != p) {
+                    psup[stor++] = q;
+                    last_seen[q] = p;
+                }
+            }
+        }
+        psup_ptr[p + 1] = stor;
+    }
+    return stor;
+}
+
+// Unique-face enumeration + element adjacency + boundary flags
+// (reference grid.pyx:304-345, 381-446, 449-525).
+// lpofa: (T, F, 4), lnofa: (T, F), nfael: (T).  Outputs:
+//   infael (n_elems, 6), inpofa (cap_faces, 4), esuel (n_elems, 6),
+//   boundary_faces (cap_faces), boundary_points (n_points).
+// Returns n_faces.
+i64 build_faces(i64 n_elems, i64 n_points, i64 stride,
+                const i64* conn, const i64* etypes,
+                const i64* nfael, const i64* lnofa, const i64* lpofa,
+                i64 max_fpe, i64 max_ppf,
+                i64* infael, i64* inpofa, i64* esuel,
+                i64* boundary_faces, i64* boundary_points) {
+    // Open-addressing table (linear probing): ~3x faster than
+    // std::unordered_map for this insert-heavy one-shot workload.
+    size_t cap = 1;
+    while (cap < (size_t)(n_elems * max_fpe) * 2) cap <<= 1;
+    const size_t mask = cap - 1;
+    struct Slot { FaceKey key; i64 elem, slot; };
+    std::vector<Slot> table(cap);
+    for (auto& s : table) s.elem = -1;
+    FaceKeyHash hasher;
+
+    std::fill(infael, infael + n_elems * max_fpe, (i64)-1);
+    std::fill(esuel, esuel + n_elems * max_fpe, (i64)-1);
+    std::memset(boundary_points, 0, sizeof(i64) * n_points);
+
+    i64 n_faces = 0;
+    for (i64 e = 0; e < n_elems; ++e) {
+        const i64 t = etypes[e];
+        const i64 nf = nfael[t];
+        const i64* row = conn + e * stride;
+        for (i64 j = 0; j < nf; ++j) {
+            i64 pts[4] = {-1, -1, -1, -1};
+            const i64 npf = lnofa[t * max_fpe + j];
+            const i64* lp = lpofa + (t * max_fpe + j) * max_ppf;
+            for (i64 k = 0; k < npf; ++k) pts[k] = row[lp[k]];
+            i64 srt[4] = {pts[0], pts[1], pts[2], pts[3]};
+            sort4(srt);
+            const FaceKey key{srt[0], srt[1], srt[2], srt[3]};
+            size_t h = hasher(key) & mask;
+            while (true) {
+                Slot& s = table[h];
+                if (s.elem < 0) {                 // new face
+                    s.key = key; s.elem = e; s.slot = j;
+                    const i64 f = n_faces++;
+                    infael[e * max_fpe + j] = f;
+                    i64* fp = inpofa + f * 4;
+                    fp[0] = pts[0]; fp[1] = pts[1];
+                    fp[2] = pts[2]; fp[3] = pts[3];
+                    boundary_faces[f] = 1;        // cleared when paired
+                    break;
+                }
+                if (s.key == key) {               // second half-face
+                    const i64 f = infael[s.elem * max_fpe + s.slot];
+                    infael[e * max_fpe + j] = f;
+                    esuel[e * max_fpe + j] = s.elem;
+                    esuel[s.elem * max_fpe + s.slot] = e;
+                    boundary_faces[f] = 0;
+                    break;
+                }
+                h = (h + 1) & mask;
+            }
+        }
+    }
+    for (i64 f = 0; f < n_faces; ++f) {
+        if (!boundary_faces[f]) continue;
+        const i64* fp = inpofa + f * 4;
+        for (i64 k = 0; k < 4 && fp[k] >= 0; ++k) boundary_points[fp[k]] = 1;
+    }
+    return n_faces;
+}
+
+// Faces surrounding each point (reference grid.pyx:347-379).
+void build_fsup(i64 n_faces, i64 n_points,
+                const i64* inpofa, i64* fsup_ptr, i64* fsup) {
+    std::memset(fsup_ptr, 0, sizeof(i64) * (n_points + 1));
+    for (i64 f = 0; f < n_faces; ++f) {
+        const i64* fp = inpofa + f * 4;
+        for (i64 k = 0; k < 4 && fp[k] >= 0; ++k) fsup_ptr[fp[k] + 1]++;
+    }
+    for (i64 p = 0; p < n_points; ++p) fsup_ptr[p + 1] += fsup_ptr[p];
+    for (i64 f = 0; f < n_faces; ++f) {
+        const i64* fp = inpofa + f * 4;
+        for (i64 k = 0; k < 4 && fp[k] >= 0; ++k) fsup[fsup_ptr[fp[k]]++] = f;
+    }
+    for (i64 p = n_points; p > 0; --p) fsup_ptr[p] = fsup_ptr[p - 1];
+    fsup_ptr[0] = 0;
+}
+
+// Elements surrounding each face (reference grid.pyx:381-416).
+void build_esuf(i64 n_elems, i64 n_faces, i64 max_fpe,
+                const i64* infael, const i64* etypes, const i64* nfael,
+                i64* esuf_ptr, i64* esuf) {
+    std::memset(esuf_ptr, 0, sizeof(i64) * (n_faces + 1));
+    for (i64 e = 0; e < n_elems; ++e) {
+        const i64 nf = nfael[etypes[e]];
+        for (i64 j = 0; j < nf; ++j)
+            esuf_ptr[infael[e * max_fpe + j] + 1]++;
+    }
+    for (i64 f = 0; f < n_faces; ++f) esuf_ptr[f + 1] += esuf_ptr[f];
+    for (i64 e = 0; e < n_elems; ++e) {
+        const i64 nf = nfael[etypes[e]];
+        for (i64 j = 0; j < nf; ++j)
+            esuf[esuf_ptr[infael[e * max_fpe + j]]++] = e;
+    }
+    for (i64 f = n_faces; f > 0; --f) esuf_ptr[f] = esuf_ptr[f - 1];
+    esuf_ptr[0] = 0;
+}
+
+// Unique edges by first encounter (reference grid.pyx:527-580).
+// Returns n_edges; inedel (n_elems, max_epe), inpoed (cap, 2).
+i64 build_edges(i64 n_elems, i64 n_points, i64 stride,
+                const i64* conn, const i64* etypes,
+                const i64* nedel, const i64* lpoed, i64 max_epe,
+                i64* inedel, i64* inpoed) {
+    std::unordered_map<i64, i64> seen;  // key = min*(n+2)+max -> edge id
+    seen.reserve((size_t)(n_elems * 4));
+    std::fill(inedel, inedel + n_elems * max_epe, (i64)-1);
+    const i64 base = n_points + 2;
+    i64 n_edges = 0;
+    for (i64 e = 0; e < n_elems; ++e) {
+        const i64 t = etypes[e];
+        const i64 ned = nedel[t];
+        const i64* row = conn + e * stride;
+        for (i64 j = 0; j < ned; ++j) {
+            const i64* lp = lpoed + (t * max_epe + j) * 2;
+            const i64 a = row[lp[0]], b = row[lp[1]];
+            const i64 lo = a < b ? a : b, hi = a < b ? b : a;
+            const i64 key = (lo + 1) * base + (hi + 1);
+            auto it = seen.find(key);
+            i64 id;
+            if (it == seen.end()) {
+                id = n_edges++;
+                seen.emplace(key, id);
+                inpoed[id * 2] = a;       // original orientation
+                inpoed[id * 2 + 1] = b;
+            } else {
+                id = it->second;
+            }
+            inedel[e * max_epe + j] = id;
+        }
+    }
+    return n_edges;
+}
+
+}  // extern "C"

@@ -72,13 +72,9 @@ class BaseCase:
         pv = np.zeros(grid.n_points)
         pv[self.internal_points] = np.nan
         dpts = grid.inpofa[dirichlet_faces].ravel()
-        pv[dpts[dpts != -1]] += 0  # placeholder for clarity
-        for f in dirichlet_faces:
-            pts = grid.inpofa[f]
-            pv[pts[pts != -1]] += 1
-        for f in neumann_faces:
-            pts = grid.inpofa[f]
-            pv[pts[pts != -1]] -= 1
+        np.add.at(pv, dpts[dpts != -1], 1)
+        npts = grid.inpofa[neumann_faces].ravel()
+        np.add.at(pv, npts[npts != -1], -1)
         dirichlet_points = np.nonzero(pv >= 0)[0]
         neumann_points = np.nonzero(pv < 0)[0]
 
@@ -108,10 +104,14 @@ class BaseCase:
             nn[:, 0], nn[:, 1], nn[:, 2],
             fcent[:, 0], fcent[:, 1], fcent[:, 2])
 
+        # mean of neumann_val_faces over each point's fsup list, vectorized
         neumann = np.zeros(grid.n_points)
-        for p in neumann_points:
-            faces = grid.fsup[grid.fsup_ptr[p]:grid.fsup_ptr[p + 1]]
-            neumann[p] = np.mean(neumann_val_faces[faces])
+        counts = np.diff(grid.fsup_ptr)
+        owner = np.repeat(np.arange(grid.n_points), counts)
+        sums = np.bincount(owner, weights=neumann_val_faces[grid.fsup],
+                           minlength=grid.n_points)
+        means = sums / np.maximum(counts, 1)
+        neumann[neumann_points] = means[neumann_points]
 
         self.point_solution = self.solution(P[:, 0], P[:, 1], P[:, 2])
         self.dirichlet_points = dirichlet_points
