@@ -131,17 +131,72 @@ def solve_normal_refined(A64, b64, n_refine=3):
         Ax = jnp.einsum("bmn,bn->bm", A64, x)
         return b64 - jnp.einsum("bmn,bm->bn", A64, Ax)
 
-    def body(_, x):
-        return x + apply_prec(residual(x))
-
-    if n_refine > 0:
-        x = jax.lax.fori_loop(0, n_refine, body, x)
+    # Unrolled (n_refine is small): a lax.fori_loop here makes XLA carry
+    # the loop-invariant A through the while-state, copying GBs per
+    # iteration on TPU; unrolling lets it stay in place and fuse.
+    dx2 = jnp.zeros((A64.shape[0],), jnp.float64)
+    for _ in range(n_refine):
+        dx = apply_prec(residual(x))
+        x = x + dx
+        dx2 = jnp.sum(dx * dx, axis=1)
     x = jnp.where(dead, 0.0, x)
-    # Convergence indicator: ||b - G x|| relative to ||b||; nodes above a
-    # caller-chosen tolerance get re-solved on the exact float64 path.
-    rnorm = jnp.linalg.norm(residual(x), axis=1) \
-        / jnp.maximum(jnp.linalg.norm(b64, axis=1), 1e-300)
-    return x, rnorm
+    # Error indicator: size of the LAST refinement correction relative to
+    # the solution — the standard iterative-refinement error estimate
+    # (||dy_k||/||y|| ~ current relative error while converging; large or
+    # NaN when diverging).  A raw residual norm under-reports the error by
+    # a cond(G) factor and lets ill-conditioned nodes slip through.
+    err_est = jnp.sqrt(dx2) / jnp.maximum(
+        jnp.linalg.norm(x, axis=1), 1e-300)
+    return x, err_est
+
+
+def solve_normal_refined_ops(A32, b64, mul_G, n_refine=3):
+    """Like :func:`solve_normal_refined`, but the float64 normal operator
+    is supplied as a closure ``mul_G(y) = A^T(A y)`` built from the
+    problem's sparse structure — the dense float64 A is never
+    materialized (its assembly and the emulated-f64 dense matvecs
+    dominated the kernel on TPU).  ``A32`` is the float32 dense assembly,
+    used only for equilibration + the Cholesky preconditioner.
+    """
+    d2_32 = jnp.einsum("bmn,bmn->bn", A32, A32)
+    dead = d2_32 == 0
+    D32 = jnp.where(dead, 0.0,
+                    jax.lax.rsqrt(jnp.where(dead, 1.0, d2_32)))
+    D = D32.astype(jnp.float64)
+
+    A32s = A32 * D32[:, None, :]
+    # The preconditioner only sets the refinement RATE, so its matmuls can
+    # run at HIGH (3-pass bf16 ~ f32) instead of HIGHEST (6-pass).
+    with jax.default_matmul_precision("high"):
+        G = jnp.einsum("bmn,bmk->bnk", A32s, A32s,
+                       preferred_element_type=jnp.float32)
+        n = G.shape[-1]
+        idx = jnp.arange(n)
+        G = G.at[:, idx, idx].add(dead.astype(jnp.float32))
+        p = _next_pow2(n)
+        if p != n:
+            Gp = jnp.zeros((G.shape[0], p, p), dtype=G.dtype)
+            pad_idx = jnp.arange(n, p)
+            Gp = Gp.at[:, pad_idx, pad_idx].set(1.0)
+            G = Gp.at[:, :n, :n].set(G)
+        Li = chol_inverse_factor(G)[:, :n, :n]
+
+    def apply_prec(r64):
+        rs = (r64 * D).astype(jnp.float32)
+        t = jnp.einsum("bnk,bk->bn", Li, rs)
+        xs = jnp.einsum("bkn,bk->bn", Li, t)
+        return xs.astype(jnp.float64) * D
+
+    x = apply_prec(b64)
+    dx2 = jnp.zeros((A32.shape[0],), jnp.float64)
+    for _ in range(n_refine):
+        dx = apply_prec(b64 - mul_G(x))
+        x = x + dx
+        dx2 = jnp.sum(dx * dx, axis=1)
+    x = jnp.where(dead, 0.0, x)
+    err_est = jnp.sqrt(dx2) / jnp.maximum(
+        jnp.linalg.norm(x, axis=1), 1e-300)
+    return x, err_est
 
 
 def householder_lastrow(Aug, n_cols):

@@ -56,7 +56,7 @@ def sharded_gls(dgrid, mesh, shard_geometry=False, axis="nodes"):
     all-gather collectives for the stencil gathers; use for meshes whose
     geometry exceeds one chip's HBM.
     """
-    from .._methods.gls import _gls_bucket_kernel
+    from .._methods.gls import _gls_bucket_kernel, precompute_face_data
 
     node_sh = node_sharding(mesh, axis)
     rep = replicated(mesh)
@@ -79,6 +79,8 @@ def sharded_gls(dgrid, mesh, shard_geometry=False, axis="nodes"):
 
     def run(bucket, perm, diff_mag, neumann_flag, neumann_val,
             n_refine=3, exact=False, neumann_compat=True):
+        nL1g, nL2g, etag, nLbg = precompute_face_data(
+            dgrid.grid, np.asarray(perm), np.asarray(diff_mag))
         put = _put_geo
         args = (
             jax.device_put(bucket["nodes"], node_sh),
@@ -89,7 +91,7 @@ def sharded_gls(dgrid, mesh, shard_geometry=False, axis="nodes"):
             put(dgrid.point_coords), put(dgrid.centroids),
             put(dgrid.normal_faces), put(dgrid.faces_centers),
             put(dgrid.boundary_faces), put(dgrid.inpofa),
-            put(perm), put(diff_mag),
+            put(nL1g), put(nL2g), put(etag), put(nLbg),
             put(neumann_flag), put(neumann_val),
         )
         with mesh:
