@@ -1,0 +1,26 @@
+# ninpol_tpu build/test/bench targets (reference Makefile:1-34 analogue;
+# no compile step is required for the Python package itself — the native
+# topology library auto-builds on first import).
+PY ?= python
+
+all: native
+
+native:
+	g++ -O3 -march=native -shared -fPIC -std=c++17 \
+	    ninpol_tpu/native/topology.cpp -o ninpol_tpu/native/_ninpol_topology.so
+
+test:
+	$(PY) -m pytest tests/ -q
+
+bench:
+	$(PY) bench.py
+
+perf:
+	$(PY) tests/performance_harness.py
+	$(PY) tests/results/graph.py
+
+clean:
+	rm -f ninpol_tpu/native/_ninpol_topology.so
+	find . -name __pycache__ -type d -exec rm -rf {} +
+
+.PHONY: all native test bench perf clean

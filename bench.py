@@ -108,13 +108,33 @@ def build_K_at(p):  # pragma: no cover - only for safety above
     return K
 
 
+_partial = {"metric": "GLS node-weights throughput, ~1M-cell tet mesh, "
+                      "single TPU chip (INCOMPLETE: watchdog fired during "
+                      "compile)", "value": 0.0, "unit": "Mnodes/s",
+            "vs_baseline": 0.0}
+
+
+def _watchdog():
+    # The remote TPU compiler occasionally hangs; never leave the driver
+    # without a JSON line.
+    print(json.dumps(_partial), flush=True)
+    os._exit(3)
+
+
 def main():
+    import threading
+    timeout_s = float(os.environ.get("NINPOL_BENCH_TIMEOUT", "2700"))
+    timer = threading.Timer(timeout_s, _watchdog)
+    timer.daemon = True
+    timer.start()
     n = int(os.environ.get("NINPOL_BENCH_N", "55"))
     t_all = time.perf_counter()
     interp, build_time = build_problem(n)
     grid = interp.grid
     n_points = grid.n_points
     n_cells = grid.n_elems
+    _partial.update(grid_build_s=round(build_time, 3),
+                    n_cells=int(n_cells), n_points=int(n_points))
     print(f"# mesh: {n_cells} cells, {n_points} points; "
           f"grid build {build_time:.2f}s", file=sys.stderr)
 

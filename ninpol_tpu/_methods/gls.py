@@ -313,7 +313,7 @@ class GLSInterpolation:
         # Working-set budget per kernel launch (B*m*n matrix elements);
         # float64 emulation on TPU inflates bytes/element heavily, so this
         # is tuned to keep peak HBM below ~8GB for the largest buckets.
-        self.chunk_elems = int(2e8)
+        self.chunk_elems = int(1.45e8)
 
     def prepare(self, dgrid, cells_data, points_data, faces_data,
                 variable_to_index, variable, target_points,

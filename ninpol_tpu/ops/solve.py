@@ -181,6 +181,13 @@ def solve_normal_refined_ops(A32, b64, mul_G, n_refine=3):
             G = Gp.at[:, :n, :n].set(G)
         Li = chol_inverse_factor(G)[:, :n, :n]
 
+    # (Near-)singular systems: the clamped Cholesky produces huge inverse
+    # diagonals; refinement may then converge INSIDE the solution family
+    # to a different member than LAPACK dgels picks (observed at
+    # rank-deficient 2D boundary-Neumann stencils), so the error estimate
+    # alone cannot catch it — flag them for the exact fallback outright.
+    sick = jnp.max(jnp.abs(jnp.diagonal(Li, axis1=1, axis2=2)), axis=1) > 3e3
+
     def apply_prec(r64):
         rs = (r64 * D).astype(jnp.float32)
         t = jnp.einsum("bnk,bk->bn", Li, rs)
@@ -196,6 +203,7 @@ def solve_normal_refined_ops(A32, b64, mul_G, n_refine=3):
     x = jnp.where(dead, 0.0, x)
     err_est = jnp.sqrt(dx2) / jnp.maximum(
         jnp.linalg.norm(x, axis=1), 1e-300)
+    err_est = jnp.where(sick, 1.0, err_est)
     return x, err_est
 
 

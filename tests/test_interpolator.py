@@ -126,3 +126,22 @@ def test_vector_data_rejected():
     case, interp = setup()
     with pytest.raises(ValueError, match="more than one dimension"):
         interp.interpolate("permeability", "idw")
+
+
+def test_face_data_to_node():
+    from ninpol_tpu.utils.face_data_to_node import face_data_to_node
+    case, interp = setup("hexa", 3)
+    grid = interp.grid
+    # a linear field sampled at face centers must be reproduced exactly
+    # at nodes by neither method (they're averages), but "mean" over a
+    # CONSTANT field is exact, and idw of a linear field converges
+    const = np.full(grid.n_faces, 7.5)
+    out = face_data_to_node(grid, const, method="mean")
+    assert np.allclose(out, 7.5)
+    lin = grid.faces_centers.sum(axis=1)
+    out = face_data_to_node(grid, lin, method="idw")
+    ref = grid.point_coords.sum(axis=1)
+    assert np.abs(out - ref).max() < 0.35  # averaged, h-level accuracy
+    # vector data
+    out2 = face_data_to_node(grid, np.stack([const, lin], axis=1))
+    assert out2.shape == (grid.n_points, 2)

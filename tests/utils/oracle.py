@@ -101,11 +101,18 @@ def ls_oracle(grid, target_points, neumann_flag, return_denom=False):
 
 
 def gls_oracle(grid, target_points, permeability, diff_mag,
-               neumann_flag, neumann_val, neumann_compat=True):
-    """Per-node GLS assembly + dgels solve (gls.pyx:75-474)."""
+               neumann_flag, neumann_val, neumann_compat=True,
+               return_cond=False):
+    """Per-node GLS assembly + dgels solve (gls.pyx:75-474).
+
+    With return_cond=True also returns each node's cond(Mi): at
+    near-singular stencils (e.g. rank-deficient 2D boundary corners) the
+    dgels output is rounding chaos and parity comparisons must mask them.
+    """
     n_target = len(target_points)
     W = np.zeros((n_target, grid.MX_ELEMENTS_PER_POINT))
     Nw = np.zeros(n_target)
+    conds = np.zeros(n_target)
     K = np.reshape(permeability, (grid.n_elems, 3, 3))
 
     for i, point in enumerate(target_points):
@@ -179,11 +186,19 @@ def gls_oracle(grid, target_points, permeability, diff_mag,
             # reference; emit zeros (documented deviation).
             continue
 
+        if return_cond:
+            sv = np.linalg.svd(Mi, compute_uv=False)
+            conds[i] = sv[0] / max(sv[min(m, n) - 1], 1e-300)
         # LAPACK dgels (QR least squares), same driver as the reference.
         lwork = _lapack.dgels_lwork(m, n, nrhs)[0]
         _, B_sol, info = _lapack.dgels(
             Mi, Ni, lwork=int(lwork))
-        assert info == 0, f"dgels failed at point {point}: info={info}"
+        if info != 0:
+            # exactly singular R diagonal: the Cython reference ignores
+            # info and reads uninitialized garbage (gls.pyx:457-472);
+            # flag the node so comparisons mask it.
+            conds[i] = np.inf
+            continue
         sol_last = B_sol[n - 1, :]          # last solution row
         w_total = nrhs - is_neu
         W[i, :w_total] = sol_last[:w_total]
@@ -193,4 +208,6 @@ def gls_oracle(grid, target_points, permeability, diff_mag,
                 Nw[i] = sol_last[w_total - 1]
             else:
                 Nw[i] = sol_last[w_total]
+    if return_cond:
+        return W, Nw, conds
     return W, Nw
