@@ -52,6 +52,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops import pallas_qr
 from ..ops.solve import (householder_lastrow,
                          solve_normal_refined_ops)
 
@@ -60,7 +61,8 @@ from ..ops.solve import (householder_lastrow,
 # Per-bucket kernel
 # ---------------------------------------------------------------------------
 @partial(jax.jit, static_argnames=("E", "F", "n_refine", "exact",
-                                   "neumann_compat", "with_neumann"))
+                                   "neumann_compat", "with_neumann",
+                                   "solver"))
 def _gls_bucket_kernel(
         nodes, valid,                       # (B,), (B,)
         esup2d, esup_cnt, fsup2d, fsup_cnt, esuf2d,
@@ -68,7 +70,7 @@ def _gls_bucket_kernel(
         boundary_faces, inpofa,
         nL1g, nL2g, etag, nLbg, neumann_flag, neumann_val,
         *, E, F, n_refine=2, exact=False, neumann_compat=True,
-        with_neumann=True):
+        with_neumann=True, solver="refined"):
     f64 = jnp.float64
     B = nodes.shape[0]
     n = 3 * E + 1
@@ -191,19 +193,20 @@ def _gls_bucket_kernel(
     def mul_G(y):
         return mul_At(mul_A(y))
 
-    # ---- float32 assembly (preconditioner / exact path) ------------------
-    def assemble(dtype):
+    # ---- assembly (entries are +-piece values placed by 0/1 one-hots,
+    # so the hi/lo split of the pieces commutes with assembly) -----------
+    def assemble_from(dtype, dKv_, cv_, nL1_, nL2_, T1_, tau_, nLb_):
         cast = lambda a: a.astype(dtype)
         eyeE = jnp.eye(E, dtype=dtype)
-        cell_grad = jnp.einsum("ef,bec->befc", eyeE, cast(dKv))
+        cell_grad = jnp.einsum("ef,bec->befc", eyeE, cast(dKv_))
         cell_rows = jnp.concatenate(
             [cell_grad.reshape(B, E, 3 * E),
-             cast(cvf)[:, :, None]], axis=2)                    # (B,E,n)
-        rows1 = (jnp.einsum("bfe,bfc->bfec", -cast(S1f), cast(nL1m))
-                 + jnp.einsum("bfe,bfc->bfec", cast(S2f), cast(nL2m)))
+             cast(cv_)[:, :, None]], axis=2)                    # (B,E,n)
+        rows1 = (jnp.einsum("bfe,bfc->bfec", -cast(S1f), cast(nL1_))
+                 + jnp.einsum("bfe,bfc->bfec", cast(S2f), cast(nL2_)))
         dS = cast(S2f) - cast(S1f)
-        rows2 = jnp.einsum("bfe,bfc->bfec", dS, cast(T1m))
-        rows3 = jnp.einsum("bfe,bfc->bfec", dS, cast(tauT2m))
+        rows2 = jnp.einsum("bfe,bfc->bfec", dS, cast(T1_))
+        rows3 = jnp.einsum("bfe,bfc->bfec", dS, cast(tau_))
         face_rows = jnp.stack([rows1, rows2, rows3], axis=2)
         face_rows = face_rows.reshape(B, 3 * F, 3 * E)
         face_rows = jnp.concatenate(
@@ -212,12 +215,18 @@ def _gls_bucket_kernel(
         if with_neumann:
             neu_rows = jnp.einsum(
                 "bfe,bfc->bfec", -cast(Sbf),
-                cast(nLbm)).reshape(B, F, 3 * E)
+                cast(nLb_)).reshape(B, F, 3 * E)
             neu_rows = jnp.concatenate(
                 [neu_rows, jnp.zeros((B, F, 1), dtype)], axis=2)
             blocks.append(neu_rows)
         return jnp.concatenate(blocks, axis=1) \
             * active[:, None, None].astype(dtype)               # (B,m,n)
+
+    _nLb_or_zero = nLbm if with_neumann else jnp.zeros((B, F, 3), f64)
+
+    def assemble(dtype):
+        return assemble_from(dtype, dKv, cvf, nL1m, nL2m, T1m, tauT2m,
+                             _nLb_or_zero)
 
     # ---- solve -----------------------------------------------------------
     if exact:
@@ -247,11 +256,66 @@ def _gls_bucket_kernel(
         w = last[:, :E]
         w_neu_correct = last[:, E]
         rnorm = jnp.zeros((B,), f64)
+    elif solver == "pallas":
+        # df32 (double-float32) QR + semi-normal solve in Pallas VMEM
+        # kernels + ONE float64 structured correction (CSNE): reaches
+        # ~eps64*cond(A) like dgels, at float32 speed.  The hi/lo piece
+        # split is exact, so (Ah + Al) == A to full f64 precision.
+        f32 = jnp.float32
+
+        def split(a):
+            h = a.astype(f32)
+            return h, (a - h.astype(f64)).astype(f32)
+
+        dKv_h, dKv_l = split(dKv)
+        nL1_h, nL1_l = split(nL1m)
+        nL2_h, nL2_l = split(nL2m)
+        T1_h, T1_l = split(T1m)
+        tau_h, tau_l = split(tauT2m)
+        nLb_h, nLb_l = split(_nLb_or_zero)
+        Ah = assemble_from(f32, dKv_h, cvf, nL1_h, nL2_h, T1_h, tau_h,
+                           nLb_h)
+        Al = assemble_from(f32, dKv_l, jnp.zeros_like(cvf), nL1_l, nL2_l,
+                           T1_l, tau_l, nLb_l)
+        # pad rows to the kernel's row-block multiple
+        mrows = Ah.shape[1]
+        pad = (-mrows) % pallas_qr.MB
+        if pad:
+            Ah = jnp.pad(Ah, ((0, 0), (0, pad), (0, 0)))
+            Al = jnp.pad(Al, ((0, 0), (0, pad), (0, 0)))
+        # dead (padding) columns: unit entry keeps the Householder
+        # diagonal aligned; such columns never reach the weights (their
+        # cells have dKv = 0 and cvf = 0 in mul_A).
+        dead = jnp.einsum("bmn,bmn->bn", Ah, Ah) == 0
+        rows_eye = (jnp.arange(Ah.shape[1])[None, :, None]
+                    == jnp.arange(n)[None, None, :])
+        Ah = Ah + jnp.where(rows_eye & dead[:, None, :], 1.0,
+                            0.0).astype(f32)
+
+        Rh, Rl = pallas_qr.qr_r_df32(Ah, Al)
+        b32 = jnp.zeros((B, n), f32).at[:, n - 1].set(1.0)
+        yh, yl = pallas_qr.sne_solve_df32(Rh, Rl, b32,
+                                          jnp.zeros_like(b32))
+        y = yh.astype(f64) + yl.astype(f64)
+
+        b = jnp.zeros((B, n), f64).at[:, n - 1].set(1.0)
+        r = b - mul_G(y)
+        rh = r.astype(f32)
+        rl = (r - rh.astype(f64)).astype(f32)
+        dyh, dyl = pallas_qr.sne_solve_df32(Rh, Rl, rh, rl)
+        dy = dyh.astype(f64) + dyl.astype(f64)
+        y = y + dy
+        rnorm = jnp.sqrt(jnp.sum(dy * dy, axis=1)) / jnp.maximum(
+            jnp.linalg.norm(y, axis=1), 1e-300)
+        # near-singular systems -> exact fallback (dgels pick differs)
+        rnorm = jnp.where(pallas_qr.r_diag_quality(Rh) < 1e-6, 1.0, rnorm)
     else:
         A32 = assemble(jnp.float32)
         b = jnp.zeros((B, n), f64).at[:, n - 1].set(1.0)
         y, rnorm = solve_normal_refined_ops(A32, b, mul_G,
                                             n_refine=n_refine)
+
+    if not exact:
         # weights_j = (cell row j) . y — exactly mul_A(y)'s cell block;
         # true neumann weight = sum_f nmean * (neumann row f . y)
         t_cell, _, _, _, tn = mul_A(y)
@@ -302,7 +366,10 @@ class GLSInterpolation:
 
     def __init__(self, logging=False):
         self.logging = logging
-        self.n_refine = 3
+        # "auto": Pallas df32-QR kernels on TPU, float64-refined normal
+        # equations elsewhere (Pallas would only run interpreted on CPU)
+        self.solver = "auto"
+        self.n_refine = 2
         self.exact = False
         self.neumann_compat = True
         # Nodes whose estimated relative solve error (last refinement
@@ -343,6 +410,11 @@ class GLSInterpolation:
         nflag_d = jnp.asarray(neumann_flag)
         nval_d = jnp.asarray(neumann_val)
 
+        solver = self.solver
+        if solver == "auto":
+            solver = ("pallas" if jax.default_backend() == "tpu"
+                      else "refined")
+
         def run_bucket(bucket, exact):
             return _gls_bucket_kernel(
                 jnp.asarray(bucket["nodes"]), jnp.asarray(bucket["valid"]),
@@ -353,7 +425,8 @@ class GLSInterpolation:
                 nL1_d, nL2_d, etag_d, nLbg_d, nflag_d, nval_d,
                 E=bucket["E"], F=bucket["F"], n_refine=self.n_refine,
                 exact=exact, neumann_compat=self.neumann_compat,
-                with_neumann=bucket.get("with_neumann", True))
+                with_neumann=bucket.get("with_neumann", True),
+                solver=solver)
 
         # Interior nodes skip the Neumann row block entirely (a static
         # kernel variant with ~45% fewer matrix rows), so bucket the

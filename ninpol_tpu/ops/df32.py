@@ -99,7 +99,9 @@ def scale(x, s32):
 
 def tree_sum(x, axis):
     """Pairwise df32 reduction along ``axis`` (padded to a power of two
-    with zeros).  Fully parallel: depth log2(n) df32 adds."""
+    with zeros).  Fully parallel: depth log2(n) df32 adds.  Uses static
+    slices only (Pallas-compatible)."""
+    import jax.lax as lax
     xh, xl = x
     n = xh.shape[axis]
     p = 1
@@ -112,12 +114,35 @@ def tree_sum(x, axis):
         xl = jnp.pad(xl, pad)
     while xh.shape[axis] > 1:
         h = xh.shape[axis] // 2
-        a = (jnp.take(xh, jnp.arange(h), axis=axis),
-             jnp.take(xl, jnp.arange(h), axis=axis))
-        b = (jnp.take(xh, jnp.arange(h, 2 * h), axis=axis),
-             jnp.take(xl, jnp.arange(h, 2 * h), axis=axis))
+        a = (lax.slice_in_dim(xh, 0, h, axis=axis),
+             lax.slice_in_dim(xl, 0, h, axis=axis))
+        b = (lax.slice_in_dim(xh, h, 2 * h, axis=axis),
+             lax.slice_in_dim(xl, h, 2 * h, axis=axis))
         xh, xl = add(a, b)
     return jnp.squeeze(xh, axis), jnp.squeeze(xl, axis)
+
+
+def div(x, y):
+    """df32 / df32 -> df32 (one Newton-style correction)."""
+    xh, xl = x
+    yh, yl = y
+    q0 = xh / yh
+    # r = x - q0*y  computed exactly-ish
+    p, e = two_prod(q0, yh)
+    rh = ((xh - p) - e) + xl - q0 * yl
+    q1 = rh / yh
+    return fast_two_sum(q0, q1)
+
+
+def sqrt(x):
+    """df32 sqrt (non-negative input; one correction step)."""
+    xh, xl = x
+    s = jnp.sqrt(xh)
+    safe = jnp.where(s > 0, s, 1.0)
+    p, e = two_prod(s, s)
+    r = ((xh - p) - e) + xl
+    lo = jnp.where(s > 0, r / (2.0 * safe), 0.0)
+    return fast_two_sum(s, lo)
 
 
 def dot3(x, y, axis=-1):

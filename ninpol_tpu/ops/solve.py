@@ -150,14 +150,79 @@ def solve_normal_refined(A64, b64, n_refine=3):
     return x, err_est
 
 
-def solve_normal_refined_ops(A32, b64, mul_G, n_refine=3):
-    """Like :func:`solve_normal_refined`, but the float64 normal operator
-    is supplied as a closure ``mul_G(y) = A^T(A y)`` built from the
-    problem's sparse structure — the dense float64 A is never
-    materialized (its assembly and the emulated-f64 dense matvecs
-    dominated the kernel on TPU).  ``A32`` is the float32 dense assembly,
-    used only for equilibration + the Cholesky preconditioner.
+def qr_r_factor(A, n_cols):
+    """Float32 Householder triangularization of (B, m, n): returns the
+    upper-triangular R (B, n, n).  Used as the refinement preconditioner:
+    unlike Cholesky of A^T A (residual ~ cond(A)^2 * eps32, which stalls
+    the refinement on finer meshes where cond(G) ~ 1e6), the QR residual
+    is ~cond(A) * eps32, so two refinement sweeps always reach the f64
+    floor.  O(n) sequential batched rank-1 updates, traffic-bound.
     """
+    m = A.shape[1]
+    rows = jnp.arange(m)
+    dt = A.dtype
+
+    def body(k, R):
+        col = R[:, :, k]
+        mask = (rows >= k)[None, :]
+        x = jnp.where(mask, col, 0.0)
+        e_k = (rows == k).astype(dt)[None, :]
+        xk = jnp.sum(x * e_k, axis=1)
+        normx = jnp.sqrt(jnp.sum(x * x, axis=1))
+        alpha = jnp.where(xk >= 0, -normx, normx)
+        v = x - alpha[:, None] * e_k
+        vnorm2 = jnp.sum(v * v, axis=1)
+        beta = jnp.where(vnorm2 > 0, 2.0 / vnorm2, 0.0)
+        w = jnp.einsum("bm,bmn->bn", v, R)
+        return R - beta[:, None, None] * v[:, :, None] * w[:, None, :]
+
+    R = jax.lax.fori_loop(0, n_cols, body, A)
+    return R[:, :n_cols, :n_cols]
+
+
+def tri_upper_inverse(R):
+    """Matmul-only inverse of batched upper-triangular (..., n, n):
+    inv([[A, B], [0, C]]) = [[A^-1, -A^-1 B C^-1], [0, C^-1]].
+    ``n`` must be a power of two; near-zero diagonals are clamped (the
+    caller flags those systems for the exact path)."""
+    n = R.shape[-1]
+    if n == 1:
+        d = R[..., 0, 0]
+        safe = jnp.where(jnp.abs(d) < 1e-8,
+                         jnp.where(d < 0, -1e-8, 1e-8), d)
+        return (1.0 / safe)[..., None, None] if R.ndim == 2 else 1.0 / R
+    if n == 2:
+        a = R[..., 0, 0]
+        b = R[..., 0, 1]
+        c = R[..., 1, 1]
+        clamp = lambda d: jnp.where(jnp.abs(d) < 1e-8,
+                                    jnp.where(d < 0, -1e-8, 1e-8), d)
+        ia = 1.0 / clamp(a)
+        ic = 1.0 / clamp(c)
+        z = jnp.zeros_like(a)
+        row0 = jnp.stack([ia, -ia * b * ic], axis=-1)
+        row1 = jnp.stack([z, ic], axis=-1)
+        return jnp.stack([row0, row1], axis=-2)
+    h = n // 2
+    A = R[..., :h, :h]
+    B = R[..., :h, h:]
+    C = R[..., h:, h:]
+    Ai = tri_upper_inverse(A)
+    Ci = tri_upper_inverse(C)
+    TR = -(Ai @ B) @ Ci
+    z = jnp.zeros_like(B)
+    top = jnp.concatenate([Ai, TR], axis=-1)
+    bot = jnp.concatenate([jnp.swapaxes(z, -1, -2), Ci], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def solve_normal_refined_ops(A32, b64, mul_G, n_refine=3):
+    """Mixed-precision solve of (A^T A) y = b: float32 QR(A)-based
+    preconditioner + float64 residual refinement through the structured
+    ``mul_G(y) = A^T(A y)`` closure (the dense float64 A is never
+    materialized — its assembly and emulated-f64 dense matvecs dominated
+    the kernel on TPU).  ``A32`` is the float32 dense assembly, used only
+    for equilibration + the preconditioner."""
     d2_32 = jnp.einsum("bmn,bmn->bn", A32, A32)
     dead = d2_32 == 0
     D32 = jnp.where(dead, 0.0,
@@ -165,33 +230,35 @@ def solve_normal_refined_ops(A32, b64, mul_G, n_refine=3):
     D = D32.astype(jnp.float64)
 
     A32s = A32 * D32[:, None, :]
-    # The preconditioner only sets the refinement RATE, so its matmuls can
-    # run at HIGH (3-pass bf16 ~ f32) instead of HIGHEST (6-pass).
-    with jax.default_matmul_precision("high"):
-        G = jnp.einsum("bmn,bmk->bnk", A32s, A32s,
-                       preferred_element_type=jnp.float32)
-        n = G.shape[-1]
-        idx = jnp.arange(n)
-        G = G.at[:, idx, idx].add(dead.astype(jnp.float32))
-        p = _next_pow2(n)
-        if p != n:
-            Gp = jnp.zeros((G.shape[0], p, p), dtype=G.dtype)
-            pad_idx = jnp.arange(n, p)
-            Gp = Gp.at[:, pad_idx, pad_idx].set(1.0)
-            G = Gp.at[:, :n, :n].set(G)
-        Li = chol_inverse_factor(G)[:, :n, :n]
+    n = A32.shape[2]
+    m = A32.shape[1]
+    # Dead (padding) columns get a unit entry so the Householder diagonal
+    # stays positionally aligned; the injected coupling only perturbs the
+    # preconditioner (rate), never the refined solution.
+    rows_eye = (jnp.arange(m)[None, :, None] == jnp.arange(n)[None, None, :])
+    A32s = A32s + jnp.where(rows_eye & dead[:, None, :], 1.0, 0.0)
 
-    # (Near-)singular systems: the clamped Cholesky produces huge inverse
-    # diagonals; refinement may then converge INSIDE the solution family
-    # to a different member than LAPACK dgels picks (observed at
-    # rank-deficient 2D boundary-Neumann stencils), so the error estimate
-    # alone cannot catch it — flag them for the exact fallback outright.
-    sick = jnp.max(jnp.abs(jnp.diagonal(Li, axis1=1, axis2=2)), axis=1) > 3e3
+    R = qr_r_factor(A32s, n)
+    p = _next_pow2(n)
+    if p != n:
+        Rp = jnp.zeros((R.shape[0], p, p), dtype=R.dtype)
+        pad_idx = jnp.arange(n, p)
+        Rp = Rp.at[:, pad_idx, pad_idx].set(1.0)
+        R = Rp.at[:, :n, :n].set(R)
+    with jax.default_matmul_precision("high"):
+        Rinv = tri_upper_inverse(R)[:, :n, :n]
+
+    # (Near-)singular systems: refinement may converge INSIDE the solution
+    # family to a different member than LAPACK dgels picks (observed at
+    # rank-deficient 2D boundary-Neumann stencils); the error estimate
+    # alone cannot catch that — flag for the exact fallback outright.
+    sick = jnp.max(jnp.abs(jnp.diagonal(Rinv, axis1=1, axis2=2)),
+                   axis=1) > 3e3
 
     def apply_prec(r64):
         rs = (r64 * D).astype(jnp.float32)
-        t = jnp.einsum("bnk,bk->bn", Li, rs)
-        xs = jnp.einsum("bkn,bk->bn", Li, t)
+        t = jnp.einsum("bkn,bk->bn", Rinv, rs)     # R^-T rs
+        xs = jnp.einsum("bnk,bk->bn", Rinv, t)     # R^-1 t
         return xs.astype(jnp.float64) * D
 
     x = apply_prec(b64)

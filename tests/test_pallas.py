@@ -1,0 +1,92 @@
+"""Pallas df32 kernels (interpreter mode on CPU) + df32 arithmetic."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ninpol_tpu.ops import df32, pallas_qr
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    old = pallas_qr.INTERPRET
+    pallas_qr.INTERPRET = True
+    yield
+    pallas_qr.INTERPRET = old
+
+
+def test_df32_arithmetic():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal(1000) * np.exp(rng.standard_normal(1000) * 5)
+    b = rng.standard_normal(1000) * np.exp(rng.standard_normal(1000) * 5)
+    A = df32.from_f64(jnp.asarray(a))
+    B = df32.from_f64(jnp.asarray(b))
+    assert np.abs(np.asarray(df32.to_f64(df32.add(A, B))) - (a + b)).max() \
+        / np.abs(a + b).max() < 1e-13
+    assert np.abs(np.asarray(df32.to_f64(df32.mul(A, B))) - a * b).max() \
+        / np.abs(a * b).max() < 1e-13
+    assert np.abs(np.asarray(df32.to_f64(df32.div(A, B))) - a / b).max() \
+        / np.abs(a / b).max() < 1e-12
+    pa = np.abs(a)
+    assert np.abs(np.asarray(df32.to_f64(df32.sqrt(
+        df32.from_f64(jnp.asarray(pa))))) - np.sqrt(pa)).max() \
+        / np.sqrt(pa).max() < 1e-13
+
+
+def test_df32_tree_sum():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((100, 37))
+    X = df32.from_f64(jnp.asarray(x))
+    s = np.asarray(df32.to_f64(df32.tree_sum(X, axis=1)))
+    assert np.abs(s - x.sum(axis=1)).max() / np.abs(x).sum(1).max() < 1e-12
+
+
+def test_qr_and_solve_match_float64():
+    B, m, n = 128, 64, 25
+    rng = np.random.default_rng(2)
+    A = np.zeros((B, m, n))
+    A[:, :50, :] = rng.standard_normal((B, 50, n))
+    Ah = jnp.asarray(A, jnp.float32)
+    Al = jnp.asarray(A - np.float32(A), jnp.float32)
+    Rh, Rl = pallas_qr.qr_r_df32(Ah, Al)
+    R = (np.asarray(Rh).astype(np.float64)
+         + np.asarray(Rl))[:n, :, 0]
+    R64 = np.linalg.qr(A[0], mode="r")
+    assert np.abs(np.abs(R) - np.abs(R64)).max() / np.abs(R64).max() < 1e-12
+
+    b = np.zeros((B, n))
+    b[:, -1] = 1.0
+    yh, yl = pallas_qr.sne_solve_df32(Rh, Rl, jnp.asarray(b, jnp.float32),
+                                      jnp.zeros((B, n), jnp.float32))
+    y = np.asarray(yh).astype(np.float64) + np.asarray(yl)
+    for i in (0, 7):
+        yref = np.linalg.solve(A[i].T @ A[i], b[i])
+        assert np.abs(y[i] - yref).max() / np.abs(yref).max() < 1e-11
+
+    q = np.asarray(pallas_qr.r_diag_quality(Rh))
+    assert (q > 1e-4).all()
+
+
+def test_gls_pallas_solver_matches_oracle():
+    """Force solver='pallas' (interpret mode) on a tiny mesh."""
+    from ninpol_tpu.interpolator import Interpolator
+    from ninpol_tpu.utils import meshgen
+    from tests.utils.cases import LINCase
+    from tests.utils.oracle import gls_oracle
+
+    case = LINCase()
+    case.assign_mesh_properties(meshgen.tetra_mesh(2), seed=0)
+    interp = Interpolator()
+    interp.load_mesh(mesh_obj=case.mesh)
+    interp.gls.solver = "pallas"
+    tp = np.arange(interp.grid.n_points)
+    W, NW = interp.prepare_interpolator("gls", case.name, tp)
+    v2i = interp.variable_to_index
+    Wo, NWo, cond = gls_oracle(
+        interp.grid, tp, interp.cells_data[v2i["cells"]["permeability"]],
+        interp.cells_data[v2i["cells"]["diff_mag"]],
+        interp.points_data[v2i["points"]["neumann_flag_LIN"]].astype(int),
+        interp.points_data[v2i["points"]["neumann_LIN"]],
+        return_cond=True)
+    ok = cond < 1e7
+    assert np.abs(W[ok] - Wo[ok]).max() < 1e-10
