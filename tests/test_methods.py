@@ -58,7 +58,7 @@ def test_ls_matches_oracle(fam):
 
 
 @pytest.mark.parametrize("fam,n", [("hexa", 4), ("tetra", 3), ("prism", 3),
-                                   ("mixed", 3), ("quad", 5),
+                                   ("mixed", 3), ("misc", 3), ("quad", 5),
                                    ("triangle", 5)])
 def test_gls_matches_oracle_mixed(fam, n):
     case, interp = setup_case(fam, n)
