@@ -417,7 +417,7 @@ class GLSInterpolation:
 
         def run_bucket(bucket, exact):
             return _gls_bucket_kernel(
-                jnp.asarray(bucket["nodes"]), jnp.asarray(bucket["valid"]),
+                bucket["nodes"], bucket["valid"],
                 dgrid.esup2d, dgrid.esup_cnt, dgrid.fsup2d, dgrid.fsup_cnt,
                 dgrid.esuf2d, dgrid.point_coords, dgrid.centroids,
                 dgrid.normal_faces, dgrid.faces_centers,

@@ -64,7 +64,7 @@ class IDWInterpolation:
 
         launched = [
             (bucket, _idw_bucket_kernel(
-                jnp.asarray(bucket["nodes"]), jnp.asarray(bucket["valid"]),
+                bucket["nodes"], bucket["valid"],
                 dgrid.esup2d, dgrid.esup_cnt,
                 dgrid.point_coords, dgrid.centroids,
                 E=bucket["E"], dim=grid.dim))

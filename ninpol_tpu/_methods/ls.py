@@ -108,7 +108,7 @@ class LSInterpolation:
 
         launched = [
             (bucket, _ls_bucket_kernel(
-                jnp.asarray(bucket["nodes"]), jnp.asarray(bucket["valid"]),
+                bucket["nodes"], bucket["valid"],
                 dgrid.esup2d, dgrid.esup_cnt,
                 dgrid.point_coords, dgrid.centroids,
                 E=bucket["E"]))
