@@ -22,18 +22,25 @@ using i64 = int64_t;
 namespace {
 
 struct FaceKey {
-    i64 a, b, c, d;  // sorted point ids (-1 padding sorts first)
+    // sorted point ids packed two per i64 ((p+1) in 32-bit halves, exact
+    // for p < 2^31): 16-byte keys keep the open-addressing table cache
+    // friendly (the 4xi64 version thrashed at 1M-cell scale).
+    uint64_t k1, k2;
     bool operator==(const FaceKey& o) const {
-        return a == o.a && b == o.b && c == o.c && d == o.d;
+        return k1 == o.k1 && k2 == o.k2;
     }
 };
 
+inline FaceKey make_face_key(const i64* srt) {
+    return FaceKey{
+        ((uint64_t)(srt[0] + 1) << 32) | (uint64_t)(uint32_t)(srt[1] + 1),
+        ((uint64_t)(srt[2] + 1) << 32) | (uint64_t)(uint32_t)(srt[3] + 1)};
+}
+
 struct FaceKeyHash {
     size_t operator()(const FaceKey& k) const {
-        // splitmix-style combine
         uint64_t h = 0x9e3779b97f4a7c15ull;
-        for (uint64_t v : {(uint64_t)k.a, (uint64_t)k.b,
-                           (uint64_t)k.c, (uint64_t)k.d}) {
+        for (uint64_t v : {k.k1, k.k2}) {
             v *= 0xbf58476d1ce4e5b9ull;
             v ^= v >> 27;
             h = (h ^ v) * 0x94d049bb133111ebull;
@@ -120,7 +127,7 @@ i64 build_faces(i64 n_elems, i64 n_points, i64 stride,
     size_t cap = 1;
     while (cap < (size_t)(n_elems * max_fpe) * 2) cap <<= 1;
     const size_t mask = cap - 1;
-    struct Slot { FaceKey key; i64 elem, slot; };
+    struct Slot { FaceKey key; int32_t elem, slot; };  // 24 bytes
     std::vector<Slot> table(cap);
     for (auto& s : table) s.elem = -1;
     FaceKeyHash hasher;
@@ -141,12 +148,13 @@ i64 build_faces(i64 n_elems, i64 n_points, i64 stride,
             for (i64 k = 0; k < npf; ++k) pts[k] = row[lp[k]];
             i64 srt[4] = {pts[0], pts[1], pts[2], pts[3]};
             sort4(srt);
-            const FaceKey key{srt[0], srt[1], srt[2], srt[3]};
+            const FaceKey key = make_face_key(srt);
             size_t h = hasher(key) & mask;
             while (true) {
                 Slot& s = table[h];
                 if (s.elem < 0) {                 // new face
-                    s.key = key; s.elem = e; s.slot = j;
+                    s.key = key;
+                    s.elem = (int32_t)e; s.slot = (int32_t)j;
                     const i64 f = n_faces++;
                     infael[e * max_fpe + j] = f;
                     i64* fp = inpofa + f * 4;
