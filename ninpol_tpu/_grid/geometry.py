@@ -34,12 +34,19 @@ def calculate_centroids(point_coords, connectivity, element_types, npoel,
     """
     n_elems = connectivity.shape[0]
     centroids = np.zeros((n_elems, 3), dtype=DTYPE_F)
-    for t in np.unique(element_types):
+    types = np.unique(element_types)
+    for t in types:
         k = int(npoel[t])
-        sel = element_types == t
-        conn_t = connectivity[sel, :k]
-        cent = point_coords[conn_t.ravel()].reshape(-1, k, 3).sum(axis=1)
-        centroids[sel, :dim] = cent[:, :dim] / k
+        sel = (slice(None) if len(types) == 1
+               else np.nonzero(element_types == t)[0])
+        conn_t = connectivity if len(types) == 1 else connectivity[sel]
+        # column-wise gathers + in-place accumulation: one (n, 3) pass per
+        # vertex slot instead of a (n, k, 3) temporary + strided reduce
+        acc = point_coords[conn_t[:, 0]].copy()
+        for c in range(1, k):
+            acc += point_coords[conn_t[:, c]]
+        acc *= 1.0 / k
+        centroids[sel, :dim] = acc[:, :dim]
     return centroids
 
 
@@ -48,11 +55,16 @@ def calculate_face_centers(point_coords, inpofa, dim):
     n_faces = inpofa.shape[0]
     centers = np.zeros((n_faces, 3), dtype=DTYPE_F)
     counts = (inpofa >= 0).sum(axis=1)
-    for k in np.unique(counts):
-        sel = counts == k
-        conn = inpofa[sel, :k]
-        s = point_coords[conn.ravel()].reshape(-1, k, 3).sum(axis=1)
-        centers[sel, :dim] = s[:, :dim] / k
+    kinds = np.unique(counts)
+    for k in kinds:
+        sel = (slice(None) if len(kinds) == 1
+               else np.nonzero(counts == k)[0])
+        conn = inpofa if len(kinds) == 1 else inpofa[sel]
+        acc = point_coords[conn[:, 0]].copy()
+        for c in range(1, k):
+            acc += point_coords[conn[:, c]]
+        acc *= 1.0 / k
+        centers[sel, :dim] = acc[:, :dim]
     return centers
 
 

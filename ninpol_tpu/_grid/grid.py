@@ -71,9 +71,12 @@ class Grid:
         self.lpoed = _validated(
             lpoed, (T, MAX_EDGES_PER_ELEMENT, MAX_POINTS_PER_EDGE))
 
-        self.inpoel = np.ascontiguousarray(connectivity, dtype=DTYPE_I).copy()
+        # no defensive copy: process_mesh/_load_cache hand over freshly
+        # built arrays, and Grid never mutates these (the ctor copy pass
+        # cost ~1s at 1M cells)
+        self.inpoel = np.ascontiguousarray(connectivity, dtype=DTYPE_I)
         self.element_types = np.ascontiguousarray(
-            element_types, dtype=DTYPE_I).copy()
+            element_types, dtype=DTYPE_I)
 
         self.are_elements_loaded = True
         self.are_coords_loaded = False
@@ -175,7 +178,7 @@ class Grid:
             padded = np.zeros((coords.shape[0], 3), dtype=DTYPE_F)
             padded[:, :coords.shape[1]] = coords
             coords = padded
-        self.point_coords = coords.copy()
+        self.point_coords = coords
         self.are_coords_loaded = True
 
     def calculate_centroids(self):

@@ -158,6 +158,10 @@ def build_faces(connectivity, element_types, nfael, lnofa, lpofa, n_points):
             _c(connectivity), _c(element_types), _c(nfael),
             _c(lnofa), _c(lpofa), F, MAX_POINTS_PER_FACE,
             infael, inpofa, esuel, bfaces, bpoints)
+        if n_faces < 0:
+            raise ValueError(
+                "Non-manifold mesh: a face is shared by more than "
+                "2 elements.")
         return {
             "n_faces": int(n_faces),
             "infael": infael,

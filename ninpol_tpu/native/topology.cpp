@@ -116,6 +116,9 @@ i64 build_psup(i64 n_elems, i64 n_points, i64 stride,
 //   infael (n_elems, 6), inpofa (cap_faces, 4), esuel (n_elems, 6),
 //   boundary_faces (cap_faces), boundary_points (n_points).
 // Returns n_faces.
+// Returns n_faces, or -1 for non-manifold input (a face shared by >2
+// elements) — mirroring the NumPy fallback's ValueError instead of
+// silently re-pairing (the ctypes wrapper raises).
 i64 build_faces(i64 n_elems, i64 n_points, i64 stride,
                 const i64* conn, const i64* etypes,
                 const i64* nfael, const i64* lnofa, const i64* lpofa,
@@ -124,51 +127,82 @@ i64 build_faces(i64 n_elems, i64 n_points, i64 stride,
                 i64* boundary_faces, i64* boundary_points) {
     // Open-addressing table (linear probing): ~3x faster than
     // std::unordered_map for this insert-heavy one-shot workload.
-    size_t cap = 1;
-    while (cap < (size_t)(n_elems * max_fpe) * 2) cap <<= 1;
+    // Sized from the actual half-face count (worst case every half-face
+    // is unique => load factor <= 0.5; typically ~0.25): halves the
+    // memory footprint vs sizing from n_elems * max_fpe.
+    i64 total_hf = 0;
+    for (i64 e = 0; e < n_elems; ++e) total_hf += nfael[etypes[e]];
+    size_t cap = 64;
+    while (cap < (size_t)total_hf * 2) cap <<= 1;
     const size_t mask = cap - 1;
     struct Slot { FaceKey key; int32_t elem, slot; };  // 24 bytes
+    // slot == -2 marks a consumed (already paired) entry
     std::vector<Slot> table(cap);
-    for (auto& s : table) s.elem = -1;
+    std::memset(table.data(), 0xFF, cap * sizeof(Slot));  // elem = -1
     FaceKeyHash hasher;
 
     std::fill(infael, infael + n_elems * max_fpe, (i64)-1);
     std::fill(esuel, esuel + n_elems * max_fpe, (i64)-1);
     std::memset(boundary_points, 0, sizeof(i64) * n_points);
 
+    // The table walk is a dependent random-access chain; batching the key
+    // computation and software-prefetching the home slots ahead of the
+    // (order-sensitive, strictly sequential) table pass hides most of the
+    // DRAM latency on the single host core.
+    constexpr int BATCH = 256;
+    FaceKey keys[BATCH];
+    size_t homes[BATCH];
+    i64 kpts[BATCH][4];
+    int32_t kel[BATCH], ksl[BATCH];
+
     i64 n_faces = 0;
-    for (i64 e = 0; e < n_elems; ++e) {
-        const i64 t = etypes[e];
-        const i64 nf = nfael[t];
-        const i64* row = conn + e * stride;
-        for (i64 j = 0; j < nf; ++j) {
+    i64 e = 0, j = 0;
+    while (e < n_elems) {
+        int nb = 0;
+        while (nb < BATCH && e < n_elems) {
+            const i64 t = etypes[e];
+            const i64 nf = nfael[t];
+            if (j >= nf) { ++e; j = 0; continue; }
+            const i64* row = conn + e * stride;
             i64 pts[4] = {-1, -1, -1, -1};
             const i64 npf = lnofa[t * max_fpe + j];
             const i64* lp = lpofa + (t * max_fpe + j) * max_ppf;
             for (i64 k = 0; k < npf; ++k) pts[k] = row[lp[k]];
             i64 srt[4] = {pts[0], pts[1], pts[2], pts[3]};
             sort4(srt);
-            const FaceKey key = make_face_key(srt);
-            size_t h = hasher(key) & mask;
+            keys[nb] = make_face_key(srt);
+            homes[nb] = hasher(keys[nb]) & mask;
+            __builtin_prefetch(&table[homes[nb]], 1, 1);
+            kpts[nb][0] = pts[0]; kpts[nb][1] = pts[1];
+            kpts[nb][2] = pts[2]; kpts[nb][3] = pts[3];
+            kel[nb] = (int32_t)e; ksl[nb] = (int32_t)j;
+            ++nb; ++j;
+        }
+        for (int b = 0; b < nb; ++b) {
+            const FaceKey key = keys[b];
+            size_t h = homes[b];
+            const i64 ee = kel[b], jj = ksl[b];
             while (true) {
                 Slot& s = table[h];
                 if (s.elem < 0) {                 // new face
                     s.key = key;
-                    s.elem = (int32_t)e; s.slot = (int32_t)j;
+                    s.elem = (int32_t)ee; s.slot = (int32_t)jj;
                     const i64 f = n_faces++;
-                    infael[e * max_fpe + j] = f;
+                    infael[ee * max_fpe + jj] = f;
                     i64* fp = inpofa + f * 4;
-                    fp[0] = pts[0]; fp[1] = pts[1];
-                    fp[2] = pts[2]; fp[3] = pts[3];
+                    fp[0] = kpts[b][0]; fp[1] = kpts[b][1];
+                    fp[2] = kpts[b][2]; fp[3] = kpts[b][3];
                     boundary_faces[f] = 1;        // cleared when paired
                     break;
                 }
                 if (s.key == key) {               // second half-face
+                    if (s.slot == -2) return -1;  // third: non-manifold
                     const i64 f = infael[s.elem * max_fpe + s.slot];
-                    infael[e * max_fpe + j] = f;
-                    esuel[e * max_fpe + j] = s.elem;
-                    esuel[s.elem * max_fpe + s.slot] = e;
+                    infael[ee * max_fpe + jj] = f;
+                    esuel[ee * max_fpe + jj] = s.elem;
+                    esuel[s.elem * max_fpe + s.slot] = ee;
                     boundary_faces[f] = 0;
+                    s.slot = -2;                  // consume the pair
                     break;
                 }
                 h = (h + 1) & mask;

@@ -78,7 +78,8 @@ def sharded_gls(dgrid, mesh, shard_geometry=False, axis="nodes"):
         return jax.device_put(arr, geo_sh)
 
     def run(bucket, perm, diff_mag, neumann_flag, neumann_val,
-            n_refine=3, exact=False, neumann_compat=True):
+            n_refine=3, exact=False, neumann_compat=True,
+            with_neumann=True):
         nL1g, nL2g, etag, nLbg = precompute_face_data(
             dgrid.grid, np.asarray(perm), np.asarray(diff_mag))
         put = _put_geo
@@ -97,6 +98,7 @@ def sharded_gls(dgrid, mesh, shard_geometry=False, axis="nodes"):
         with mesh:
             return _gls_bucket_kernel(
                 *args, E=bucket["E"], F=bucket["F"], n_refine=n_refine,
-                exact=exact, neumann_compat=neumann_compat)
+                exact=exact, neumann_compat=neumann_compat,
+                with_neumann=with_neumann)
 
     return run
