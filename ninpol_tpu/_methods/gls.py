@@ -339,10 +339,13 @@ def _gls_bucket_kernel(
 
 
 def precompute_face_data(grid, perm, diff_mag):
-    """Per-face flux vectors K^T N for both sides + eta = max diff_mag of
+    """Per-face flux vectors K N for both sides + eta = max diff_mag of
     the pair — pure face data the reference recomputes per node
-    (gls.pyx:301-321).  nLbg (Neumann rows) uses the owner (first) cell
-    (gls.pyx:396-397)."""
+    (gls.pyx:301-321: dgemv("T") on a ROW-major 3x3 buffer, which BLAS
+    reads column-major as K^T and transposes back, i.e. K @ N).
+    nLbg (Neumann rows) uses the owner (first) cell (gls.pyx:396-397) —
+    numerically equal to nL1g, computed separately to keep the owner
+    derivation explicit."""
     perm = np.reshape(np.asarray(perm), (grid.n_elems, 3, 3))
     diff_mag = np.asarray(diff_mag).reshape(-1)[:grid.n_elems]
     fptr = grid.esuf_ptr
@@ -351,10 +354,11 @@ def precompute_face_data(grid, perm, diff_mag):
     second = np.where(has2, grid.esuf[np.minimum(
         fptr[:-1] + 1, len(grid.esuf) - 1)], first)
     Nrm = grid.normal_faces
-    nL1g = np.einsum("fji,fj->fi", perm[first], Nrm)
-    nL2g = np.einsum("fji,fj->fi", perm[second], Nrm)
+    nL1g = np.einsum("fij,fj->fi", perm[first], Nrm)
+    nL2g = np.einsum("fij,fj->fi", perm[second], Nrm)
     etag = np.maximum(diff_mag[first], diff_mag[second])
-    return nL1g, nL2g, etag, nL1g
+    nLbg = np.einsum("fij,fj->fi", perm[first], Nrm)
+    return nL1g, nL2g, etag, nLbg
 
 
 # ---------------------------------------------------------------------------

@@ -288,6 +288,17 @@ class Interpolator:
             B_view = B.view([("", B.dtype)] * B.shape[1]).ravel()
             idx_B_sorted = np.argsort(B_view)
             idx_in_B = np.searchsorted(B_view[idx_B_sorted], A_view)
+            # validate: every user row must match a grid face exactly
+            # (searchsorted silently returns neighbors for misses)
+            idx_in_B = np.minimum(idx_in_B, len(B_view) - 1)
+            matched = B_view[idx_B_sorted[idx_in_B]] == A_view
+            if not matched.all():
+                bad = int(np.nonzero(~matched)[0][0])
+                raise ValueError(
+                    f"face_connectivity row {bad} "
+                    f"({np.asarray(A[bad]).tolist()}) does not match any "
+                    "grid face (point ordering must follow the grid's "
+                    "inpofa convention)")
             face_to_grid = idx_B_sorted[idx_in_B]
 
         self.faces_data = np.zeros((len(data_dict), self.grid.n_faces),

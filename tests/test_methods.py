@@ -111,6 +111,33 @@ def test_gls_neumann_correct_mode_differs():
     assert np.abs(NWt - NWo).max() < 1e-10
 
 
+def test_gls_asymmetric_permeability():
+    """K @ N vs K^T @ N differ for non-symmetric K: the reference's
+    dgemv("T") on a row-major buffer computes K @ N (gls.pyx:320-321);
+    pin that binary behavior (symmetric-K cases can't see the
+    difference)."""
+    case, interp = setup_case("tetra", 3)
+    g = interp.grid
+    rng = np.random.default_rng(7)
+    K = np.tile(np.eye(3), (g.n_elems, 1, 1)) * 2.0
+    skew = rng.standard_normal((g.n_elems, 3, 3))
+    K = K + 0.3 * (skew - np.swapaxes(skew, 1, 2))   # asymmetric part
+    assert np.abs(K - np.swapaxes(K, 1, 2)).max() > 1e-2
+    dmag = interp.compute_diffusion_magnitude(K.reshape(-1, 9))
+    interp.load_data({"permeability": K.reshape(-1, 9),
+                      "diff_mag": dmag}, "cells")
+    f = get_fields(interp, case.name)
+    tp = np.arange(g.n_points)
+    W, NW = interp.prepare_interpolator("gls", case.name, tp)
+    Wo, NWo, cond = gls_oracle(g, tp, K.reshape(-1, 9), dmag,
+                               f["nflag"], f["nval"], neumann_compat=True,
+                               return_cond=True)
+    ok = cond < 1e7
+    scale = max(np.abs(Wo[ok]).max(), 1.0)
+    assert np.abs(W[ok] - Wo[ok]).max() / scale < 1e-10
+    assert np.abs(NW[ok] - NWo[ok]).max() / scale < 1e-10
+
+
 def test_dirichlet_rows_are_zero():
     case, interp = setup_case("hexa", 3)
     f = get_fields(interp, case.name)

@@ -153,12 +153,13 @@ def gls_oracle(grid, target_points, permeability, diff_mag,
                 T2 = np.cross(Nsj, T1)
                 tau = np.sqrt(np.sum(T2 ** 2)) ** (-eta)
                 tauT2 = tau * T2
-                nL1 = K[ks[0]].T @ Nsj
-                nL2 = K[ks[1]].T @ Nsj
+                # reference: dgemv("T") on a ROW-major 3x3 buffer — BLAS
+                # reads it column-major (= K^T) and transposes again, so
+                # the computed vector is K @ N (gls.pyx:320-321).
+                nL1 = K[ks[0]] @ Nsj
+                nL2 = K[ks[1]] @ Nsj
                 I1, I2 = loc[int(ks[0])], loc[int(ks[1])]
                 r = n_elem + 3 * j
-                for vec, row in ((nL1, r), (T1, r + 1), (tauT2, r + 2)):
-                    pass
                 Mi[r, 3 * I1:3 * I1 + 3] = -nL1
                 Mi[r, 3 * I2:3 * I2 + 3] = nL2
                 Mi[r + 1, 3 * I1:3 * I1 + 3] = -T1
@@ -172,7 +173,7 @@ def gls_oracle(grid, target_points, permeability, diff_mag,
             start = n_elem + 3 * n_face
             for b, f in enumerate(Svb):
                 owner = grid.esuf[grid.esuf_ptr[f]]
-                nL = K[owner].T @ grid.normal_faces[f]
+                nL = K[owner] @ grid.normal_faces[f]
                 pts = grid.inpofa[f]
                 pts = pts[pts >= 0]
                 Ni[start + b, n_elem] = np.mean(neumann_val[pts])
