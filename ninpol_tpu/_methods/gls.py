@@ -52,7 +52,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops import pallas_qr
+from ..ops import df32, pallas_qr
+from ..ops.pallas_chol import (chol_linv_f32, gram_f32, prec_apply_f32,
+                               round2_gram_f32)
 from ..ops.solve import (householder_lastrow,
                          solve_normal_refined_ops)
 
@@ -70,7 +72,7 @@ def _gls_bucket_kernel(
         boundary_faces, inpofa,
         nL1g, nL2g, etag, nLbg, neumann_flag, neumann_val,
         *, E, F, n_refine=2, exact=False, neumann_compat=True,
-        with_neumann=True, solver="refined"):
+        with_neumann=True, solver="cholqr"):
     f64 = jnp.float64
     B = nodes.shape[0]
     n = 3 * E + 1
@@ -224,6 +226,107 @@ def _gls_bucket_kernel(
 
     _nLb_or_zero = nLbm if with_neumann else jnp.zeros((B, F, 3), f64)
 
+    # ---- df32 structured operator (the float64 emulation above is an
+    # order of magnitude slower on TPU; error-free-transform float32
+    # pairs hit the same ~2^-44 accuracy at VPU speed) ------------------
+    f32 = jnp.float32
+
+    def _split(a):
+        h = a.astype(f32)
+        return h, (a - h.astype(f64)).astype(f32)
+
+    need_df = (not exact) and solver in ("pallas", "cholqr")
+    if need_df:
+        dKv_s = _split(dKv)
+        nL1_s = _split(nL1m)
+        nL2_s = _split(nL2m)
+        T1_s = _split(T1m)
+        tau_s = _split(tauT2m)
+        nLb_s = _split(_nLb_or_zero)
+        nmean_s = _split(nmean)
+        cv32 = cvf.astype(f32)
+        af32 = af.astype(f32)
+        S1_32 = S1f.astype(f32)
+        S2_32 = S2f.astype(f32)
+        Sb_32 = Sbf.astype(f32) if with_neumann else None
+
+    def _dot3(x, y):
+        """df32 dot over the trailing 3-axis of (hi, lo) pairs."""
+        acc = None
+        for c in range(3):
+            p = df32.mul((x[0][..., c], x[1][..., c]),
+                         (y[0][..., c], y[1][..., c]))
+            acc = p if acc is None else df32.add(acc, p)
+        return acc
+
+    def _bc3(p):
+        """broadcast a (B, X) pair to (B, X, 1) for per-component mults."""
+        return p[0][:, :, None], p[1][:, :, None]
+
+    def mul_A_df32(y64):
+        yh = y64.astype(f32)
+        yl = (y64 - yh.astype(f64)).astype(f32)
+        y3h = yh[:, :3 * E].reshape(B, E, 3)
+        y3l = yl[:, :3 * E].reshape(B, E, 3)
+        tc = _dot3(dKv_s, (y3h, y3l))
+        ych = jnp.broadcast_to(yh[:, 3 * E][:, None], tc[0].shape)
+        ycl = jnp.broadcast_to(yl[:, 3 * E][:, None], tc[1].shape)
+        tc = df32.add(tc, (ych, ycl))
+        msk = cv32 * af32[:, None]
+        tc = (tc[0] * msk, tc[1] * msk)
+        gat = lambda a, idx: jnp.take_along_axis(a, idx[:, :, None], axis=1)
+        g1 = (gat(y3h, Ij1), gat(y3l, Ij1))
+        g2 = (gat(y3h, Ij2), gat(y3l, Ij2))
+        r1 = df32.add(_dot3(nL2_s, g2), df32.neg(_dot3(nL1_s, g1)))
+        dd = df32.add(g2, df32.neg(g1))
+        r2 = _dot3(T1_s, dd)
+        r3 = _dot3(tau_s, dd)
+        am = af32[:, None]
+        r1 = (r1[0] * am, r1[1] * am)
+        r2 = (r2[0] * am, r2[1] * am)
+        r3 = (r3[0] * am, r3[1] * am)
+        if with_neumann:
+            go = (gat(y3h, Ikb), gat(y3l, Ikb))
+            tn = df32.neg(_dot3(nLb_s, go))
+            tn = (tn[0] * am, tn[1] * am)
+        else:
+            tn = None
+        return tc, r1, r2, r3, tn
+
+    def mul_At_df32(t):
+        tc, r1, r2, r3, tn = t
+        out3 = df32.mul(dKv_s, _bc3(tc))
+        t123 = df32.add(df32.add(df32.mul(nL1_s, _bc3(r1)),
+                                 df32.mul(T1_s, _bc3(r2))),
+                        df32.mul(tau_s, _bc3(r3)))
+        c1 = df32.neg(t123)
+        c2 = df32.add(df32.add(df32.mul(nL2_s, _bc3(r1)),
+                               df32.mul(T1_s, _bc3(r2))),
+                      df32.mul(tau_s, _bc3(r3)))
+
+        def scatter(S32, c):
+            # one-hot placement is exact in f32; the F-accumulation runs
+            # as a compensated pairwise df32 reduction
+            ph = c[0][:, :, None, :] * S32[:, :, :, None]
+            plo = c[1][:, :, None, :] * S32[:, :, :, None]
+            return df32.tree_sum((ph, plo), axis=1)          # (B, E, 3)
+
+        out3 = df32.add(out3, scatter(S1_32, c1))
+        out3 = df32.add(out3, scatter(S2_32, c2))
+        if with_neumann:
+            cb = df32.neg(df32.mul(nLb_s, _bc3(tn)))
+            out3 = df32.add(out3, scatter(Sb_32, cb))
+        outc = df32.tree_sum(tc, axis=1)                     # (B,)
+        oh = jnp.concatenate([out3[0].reshape(B, 3 * E),
+                              outc[0][:, None]], axis=1)
+        ol = jnp.concatenate([out3[1].reshape(B, 3 * E),
+                              outc[1][:, None]], axis=1)
+        return oh.astype(f64) + ol.astype(f64)
+
+    def mul_G_df32(y64):
+        return mul_At_df32(mul_A_df32(y64))
+
+
     def assemble(dtype):
         return assemble_from(dtype, dKv, cvf, nL1m, nL2m, T1m, tauT2m,
                              _nLb_or_zero)
@@ -256,23 +359,68 @@ def _gls_bucket_kernel(
         w = last[:, :E]
         w_neu_correct = last[:, E]
         rnorm = jnp.zeros((B,), f64)
+    elif solver == "cholqr":
+        # Shifted CholeskyQR2 (f32, MXU) preconditioner + df32 structured
+        # refinement sweeps.  CholQR2's property: the preconditioner
+        # residual is ~eps32*sqrt(m) INDEPENDENT of cond(A) (up to the
+        # f32 breakdown point), because round 2 re-orthonormalizes the
+        # explicitly formed Q1 = A R1^{-1}.  Each df32 sweep then
+        # contracts the solve error by that factor, reaching dgels-level
+        # accuracy in `n_refine + 1` sweeps.  Replaces per-node LAPACK
+        # dgels (gls.pyx:420-474) with batched MXU matmuls.
+        Ah = assemble_from(f32, dKv_s[0], cvf, nL1_s[0], nL2_s[0],
+                           T1_s[0], tau_s[0], nLb_s[0])
+        d2 = jnp.einsum("bmn,bmn->bn", Ah, Ah)
+        deadc = d2 == 0
+        D32 = jnp.where(deadc, f32(0),
+                        jax.lax.rsqrt(jnp.where(deadc, f32(1), d2)))
+        As = Ah * D32[:, None, :]
+        eyen = jnp.eye(n, dtype=f32)[None]
+        # diag(G1) == 1 after column equilibration, so a constant shift
+        # of ~128*eps32 suffices (shifted CholQR: keeps the first
+        # factorization positive definite past cond(A) ~ 1/sqrt(eps32);
+        # round 2 heals the shift-induced distortion).  Dead (padding)
+        # columns get a decoupled unit diagonal — their equilibrated
+        # columns are exactly zero, so no coupling to real columns.
+        G1 = gram_f32(As) + eyen * (deadc.astype(f32)
+                                    + f32(1.5e-5))[:, :, None]
+        Li1 = chol_linv_f32(G1)
+        G2 = round2_gram_f32(As, Li1) + eyen * deadc.astype(f32)[:, :, None]
+        # fused: Lc = L2^{-1} @ Li1, so M r = Lc^T (Lc r) — one combined
+        # factor, applied by a single Pallas pass per sweep
+        Lc = chol_linv_f32(G2, mul_right=Li1)
+        dmax = jnp.maximum(
+            jnp.max(jnp.abs(jnp.diagonal(Li1, axis1=1, axis2=2)), axis=1),
+            jnp.max(jnp.abs(jnp.diagonal(Lc, axis1=1, axis2=2)), axis=1))
+        sick = dmax > f32(3e4)
+        D = D32.astype(f64)
+
+        def M(r64):
+            v = (r64 * D).astype(f32)
+            v = prec_apply_f32(Lc, v)
+            return v.astype(f64) * D
+
+        b = jnp.zeros((B, n), f64).at[:, n - 1].set(1.0)
+        y = M(b)
+        dy = y
+        for _ in range(max(n_refine + 1, 2)):
+            r = b - mul_G_df32(y)
+            dy = M(r)
+            y = y + dy
+        rnorm = jnp.sqrt(jnp.sum(dy * dy, axis=1)) / jnp.maximum(
+            jnp.linalg.norm(y, axis=1), 1e-300)
+        rnorm = jnp.where(sick, jnp.ones_like(rnorm), rnorm)
     elif solver == "pallas":
         # df32 (double-float32) QR + semi-normal solve in Pallas VMEM
         # kernels + ONE float64 structured correction (CSNE): reaches
         # ~eps64*cond(A) like dgels, at float32 speed.  The hi/lo piece
         # split is exact, so (Ah + Al) == A to full f64 precision.
-        f32 = jnp.float32
-
-        def split(a):
-            h = a.astype(f32)
-            return h, (a - h.astype(f64)).astype(f32)
-
-        dKv_h, dKv_l = split(dKv)
-        nL1_h, nL1_l = split(nL1m)
-        nL2_h, nL2_l = split(nL2m)
-        T1_h, T1_l = split(T1m)
-        tau_h, tau_l = split(tauT2m)
-        nLb_h, nLb_l = split(_nLb_or_zero)
+        dKv_h, dKv_l = dKv_s
+        nL1_h, nL1_l = nL1_s
+        nL2_h, nL2_l = nL2_s
+        T1_h, T1_l = T1_s
+        tau_h, tau_l = tau_s
+        nLb_h, nLb_l = nLb_s
         Ah = assemble_from(f32, dKv_h, cvf, nL1_h, nL2_h, T1_h, tau_h,
                            nLb_h)
         Al = assemble_from(f32, dKv_l, jnp.zeros_like(cvf), nL1_l, nL2_l,
@@ -318,12 +466,24 @@ def _gls_bucket_kernel(
     if not exact:
         # weights_j = (cell row j) . y — exactly mul_A(y)'s cell block;
         # true neumann weight = sum_f nmean * (neumann row f . y)
-        t_cell, _, _, _, tn = mul_A(y)
-        w = t_cell
-        if with_neumann:
-            w_neu_correct = jnp.sum(nmean * tn, axis=1)
+        if need_df:
+            # df32 arithmetic: same ~2^-44 accuracy as the (emulated)
+            # float64 ops at a fraction of the TPU cost
+            tc, _, _, _, tn = mul_A_df32(y)
+            w = tc[0].astype(f64) + tc[1].astype(f64)
+            if with_neumann:
+                p = df32.mul(nmean_s, tn)
+                sh, sl = df32.tree_sum(p, axis=1)
+                w_neu_correct = sh.astype(f64) + sl.astype(f64)
+            else:
+                w_neu_correct = jnp.zeros((B,), f64)
         else:
-            w_neu_correct = jnp.zeros((B,), f64)
+            t_cell, _, _, _, tn = mul_A(y)
+            w = t_cell
+            if with_neumann:
+                w_neu_correct = jnp.sum(nmean * tn, axis=1)
+            else:
+                w_neu_correct = jnp.zeros((B,), f64)
 
     w = jnp.where(active[:, None] & cell_valid, w, 0.0)
     if neumann_compat:
@@ -370,8 +530,12 @@ class GLSInterpolation:
 
     def __init__(self, logging=False):
         self.logging = logging
-        # "auto": Pallas df32-QR kernels on TPU, float64-refined normal
-        # equations elsewhere (Pallas would only run interpreted on CPU)
+        # "auto" resolves to "cholqr" everywhere: shifted CholeskyQR2
+        # (f32, MXU) + df32 structured refinement — the same algorithm on
+        # TPU (Pallas kernels) and CPU (LAPACK-backed fallbacks), so the
+        # tested path IS the shipped path.  "pallas" (df32 Householder
+        # QR) and "refined" (f64 normal-equation refinement) remain
+        # selectable for cross-checks.
         self.solver = "auto"
         self.n_refine = 2
         self.exact = False
@@ -385,39 +549,47 @@ class GLSInterpolation:
         # float64 emulation on TPU inflates bytes/element heavily, so this
         # is tuned to keep peak HBM below ~8GB for the largest buckets.
         self.chunk_elems = int(1.45e8)
+        # device-side caches (per grid+variable): face flux vectors and
+        # point flags — re-uploading them every prepare() costs seconds
+        # through this environment's ~50 MB/s host<->device relay.
+        self._face_cache_key = None
+        self._face_cache = None
 
     def prepare(self, dgrid, cells_data, points_data, faces_data,
                 variable_to_index, variable, target_points,
-                weights, neumann_ws):
+                weights, neumann_ws, device_out=False):
         grid = dgrid.grid
         perm_idx = variable_to_index["cells"]["permeability"]
         diff_idx = variable_to_index["cells"]["diff_mag"]
         nf_idx = variable_to_index["points"]["neumann_flag_" + variable]
         nv_idx = variable_to_index["points"]["neumann_" + variable]
 
-        perm = np.reshape(cells_data[perm_idx], (grid.n_elems, 3, 3))
-        diff_mag = cells_data[diff_idx]
         neumann_flag = points_data[nf_idx].astype(np.int32)
-        neumann_val = points_data[nv_idx]
 
         target_points = np.asarray(target_points)
         # active: skip Dirichlet boundary nodes (gls.pyx:165-166)
         active = ~(grid.boundary_points[target_points].astype(bool)
                    & (neumann_flag[target_points] == 0))
 
-        nL1g, nL2g, etag, nLbg = precompute_face_data(grid, perm, diff_mag)
-
-        nL1_d = jnp.asarray(nL1g)
-        nL2_d = jnp.asarray(nL2g)
-        etag_d = jnp.asarray(etag)
-        nLbg_d = jnp.asarray(nLbg)
-        nflag_d = jnp.asarray(neumann_flag)
-        nval_d = jnp.asarray(neumann_val)
+        # Per-face flux data + flags: computed and uploaded ONCE per
+        # (grid, variable) — the host<->device link of this environment
+        # runs at ~50 MB/s, so re-uploading ~100 MB of face vectors every
+        # call would dominate the whole interpolation.
+        ckey = (id(grid), id(cells_data), id(points_data), variable)
+        if self._face_cache_key != ckey:
+            perm = np.reshape(cells_data[perm_idx], (grid.n_elems, 3, 3))
+            diff_mag = cells_data[diff_idx]
+            nL1g, nL2g, etag, nLbg = precompute_face_data(
+                grid, perm, diff_mag)
+            self._face_cache = tuple(jnp.asarray(a) for a in (
+                nL1g, nL2g, etag, nLbg, neumann_flag,
+                points_data[nv_idx]))
+            self._face_cache_key = ckey
+        (nL1_d, nL2_d, etag_d, nLbg_d, nflag_d, nval_d) = self._face_cache
 
         solver = self.solver
         if solver == "auto":
-            solver = ("pallas" if jax.default_backend() == "tpu"
-                      else "refined")
+            solver = "cholqr"
 
         def run_bucket(bucket, exact):
             return _gls_bucket_kernel(
@@ -444,28 +616,87 @@ class GLSInterpolation:
                 bucket["with_neumann"] = wneu
                 all_buckets.append(bucket)
 
-        # Dispatch all chunks asynchronously first (JAX queues them), then
-        # fetch: hides per-dispatch latency behind device compute.
-        launched = [(bucket, run_bucket(bucket, self.exact))
-                    for bucket in all_buckets]
+        # Dispatch all chunks asynchronously (JAX queues them), scatter
+        # each chunk's rows into ONE consolidated device array, and fetch
+        # that array ONCE at the end: the host<->device relay here has
+        # ~70 ms latency PER TRANSFER at ~50 MB/s, so per-chunk fetches
+        # (round 1) cost seconds of pure latency.
+        n_target = len(target_points)
+        ncols_out = weights.shape[1]
+        wdev = (jnp.zeros((n_target, ncols_out + 1), jnp.float64)
+                if device_out else None)
+        rndev = jnp.zeros((n_target,), jnp.float64)
 
-        for bucket, (w, wn, rnorm) in launched:
-            w = np.asarray(w)
-            wn = np.asarray(wn)
-            sel = bucket["valid"]
-            pos = bucket["pos"][sel]
-            E = bucket["E"]
-            ncols = min(E, weights.shape[1])
-            weights[pos, :ncols] = w[sel][:, :ncols]
-            neumann_ws[pos] = wn[sel]
+        def pad_rows(bucket, w, wn):
+            ncols = min(bucket["E"], ncols_out)
+            return jnp.concatenate([
+                w[:, :ncols],
+                jnp.zeros((w.shape[0], ncols_out - ncols), w.dtype),
+                wn[:, None]], axis=1)
 
-            if not self.exact and self.fallback_tol is not None:
-                # NaN-safe: anything not provably converged goes to the
-                # exact path (nan > tol is False, so use negated <=).
-                bad = sel & ~(np.asarray(rnorm) <= self.fallback_tol)
-                if bad.any():
-                    # Re-solve ill-conditioned stragglers exactly (float64
-                    # Householder); typically a handful of nodes.
+        def scatter_bucket(bucket, w, wn, wdev, rndev=None, rnorm=None):
+            # invalid (padding) rows carry pos == -1; route them out of
+            # bounds and drop (negative indices would WRAP in jnp)
+            pos = jnp.asarray(np.where(bucket["pos"] >= 0,
+                                       bucket["pos"], n_target))
+            if wdev is not None:
+                wdev = wdev.at[pos].set(pad_rows(bucket, w, wn),
+                                        mode="drop")
+            if rnorm is not None:
+                rndev = rndev.at[pos].set(rnorm, mode="drop")
+            return wdev, rndev
+
+        launched = []
+        for bucket in all_buckets:
+            w, wn, rnorm = run_bucket(bucket, self.exact)
+            _, rndev = scatter_bucket(bucket, None, None, None, rndev,
+                                      rnorm)
+            if device_out:
+                wdev, _ = scatter_bucket(bucket, w, wn, wdev)
+            else:
+                launched.append((bucket, pad_rows(bucket, w, wn)))
+
+        if not device_out:
+            # Host delivery: group chunk outputs into a few compact
+            # device concats and fetch them SEQUENTIALLY — this relay
+            # serializes transfers (concurrent fetches stall), but a
+            # fetch of an early group overlaps the still-running compute
+            # of later groups; grouping also amortizes the ~70 ms
+            # per-transfer latency.
+            n_groups = min(4, max(1, len(launched)))
+            per = -(-len(launched) // n_groups)
+            groups = [launched[i:i + per]
+                      for i in range(0, len(launched), per)]
+            fetched = []
+            for grp in groups:
+                cat = (grp[0][1] if len(grp) == 1 else
+                       jnp.concatenate([r for _, r in grp], axis=0))
+                fetched.append((grp, np.asarray(cat)))
+            for grp, host in fetched:
+                lo = 0
+                for bucket, rows in grp:
+                    nb = rows.shape[0]
+                    sel = bucket["valid"]
+                    pos = bucket["pos"][sel]
+                    blk = host[lo:lo + nb][sel]
+                    weights[pos, :] = blk[:, :ncols_out]
+                    neumann_ws[pos] = blk[:, ncols_out]
+                    lo += nb
+
+        if not self.exact and self.fallback_tol is not None:
+            # one small fetch decides which nodes need the exact path;
+            # NaN-safe: anything not provably converged falls back
+            rn_host = np.asarray(rndev)
+            bad_all = active & ~(rn_host <= self.fallback_tol)
+            if bad_all.any():
+                for bucket in all_buckets:
+                    sel = bucket["valid"]
+                    bpos = bucket["pos"]
+                    bad = sel & (bpos >= 0) & bad_all[np.maximum(bpos, 0)]
+                    if not bad.any():
+                        continue
+                    # Re-solve ill-conditioned stragglers exactly
+                    # (float64 Householder); typically a handful.
                     nb = int(bad.sum())
                     Bpad = max(256, int(-(-nb // 256) * 256))
                     fb = {
@@ -479,9 +710,19 @@ class GLSInterpolation:
                     fb["valid"][:nb] = True
                     fb["pos"][:nb] = bucket["pos"][bad]
                     w2, wn2, _ = run_bucket(fb, True)
-                    w2 = np.asarray(w2)[:nb]
-                    wn2 = np.asarray(wn2)[:nb]
-                    bpos = fb["pos"][:nb]
-                    weights[bpos, :ncols] = w2[:, :ncols]
-                    neumann_ws[bpos] = wn2
+                    if device_out:
+                        wdev, _ = scatter_bucket(fb, w2, wn2, wdev)
+                    else:
+                        host = np.asarray(pad_rows(fb, w2, wn2))[:nb]
+                        bpos = fb["pos"][:nb]
+                        weights[bpos, :] = host[:, :ncols_out]
+                        neumann_ws[bpos] = host[:, ncols_out]
+
+        if device_out:
+            # device-resident result: (n_target, ncols+1) float64 of
+            # [weights | neumann_w] — for on-device consumers (e.g. an
+            # MPFA assembly) and for benchmarking compute separately
+            # from the host-delivery cost of this environment's relay.
+            return wdev
+
         return weights, neumann_ws

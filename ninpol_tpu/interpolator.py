@@ -79,6 +79,14 @@ class Interpolator:
         self.mesh_obj = None
         self.points_coords = None
         self._device_grid = None
+        # prepared-weights cache: (method, variable, target-hash) ->
+        # (weights, neumann_ws).  interpolate() re-uses prepared weights
+        # instead of re-dispatching the kernels (results are
+        # deterministic for fixed mesh + data); invalidated by any
+        # load_mesh/load_data call.
+        self._prep_cache = {}
+        # CSR pattern cache (rows/cols/mask derive from the grid only)
+        self._csr_pattern = None
         self.CACHE_PATH = tempfile.gettempdir()
 
     # ------------------------------------------------------------------
@@ -175,6 +183,8 @@ class Interpolator:
 
         self.is_grid_initialized = True
         self._device_grid = None
+        self._prep_cache = {}
+        self._csr_pattern = None
         self.logger.log(
             f"Mesh loaded successfully: {self.grid.n_points} points and "
             f"{self.grid.n_elems} elements.", "INFO")
@@ -254,6 +264,7 @@ class Interpolator:
         else:
             self.points_data_dimensions = dimensions
             self.points_data = data_array
+        self._prep_cache = {}
 
     def load_cell_data(self):
         dim = self.grid.dim
@@ -301,6 +312,7 @@ class Interpolator:
                     "inpofa convention)")
             face_to_grid = idx_B_sorted[idx_in_B]
 
+        self._prep_cache = {}
         self.faces_data = np.zeros((len(data_dict), self.grid.n_faces),
                                    dtype=DTYPE_F)
         self.faces_data_dimensions = np.zeros(len(data_dict), dtype=DTYPE_I)
@@ -378,22 +390,37 @@ class Interpolator:
         self.logger.log(
             f"Interpolating variable '{variable}' using method '{method}'",
             "INFO")
-        weights, neumann_ws = self.prepare_interpolator(
-            method, variable, target_points)
+        tp_key = (method, variable, len(target_points),
+                  hash(target_points.tobytes()),
+                  self.gls.exact, self.gls.solver, self.gls.neumann_compat)
+        if tp_key in self._prep_cache:
+            weights, neumann_ws = self._prep_cache[tp_key]
+        else:
+            weights, neumann_ws = self.prepare_interpolator(
+                method, variable, target_points)
+            if len(self._prep_cache) >= 8:     # bounded: evict oldest
+                self._prep_cache.pop(next(iter(self._prep_cache)))
+            self._prep_cache[tp_key] = (weights, neumann_ws)
 
         # CSR assembly (interpolator.pyx:594-629): per target node the
         # weight columns map to its esup entries; the node's Neumann weight
         # is ADDED to every entry of the row (interpolator.pyx:618).
         ptr = self.grid.esup_ptr
-        counts = np.diff(ptr)[target_points]
-        rows = np.repeat(np.arange(len(target_points)), counts)
-        if full_target:
-            cols = self.grid.esup
+        if full_target and self._csr_pattern is not None:
+            counts, rows, cols, mask = self._csr_pattern
         else:
-            cols = np.concatenate([
-                self.grid.esup[ptr[p]:ptr[p + 1]] for p in target_points
-            ]) if len(target_points) else np.zeros(0, dtype=DTYPE_I)
-        mask = (np.arange(weights.shape[1])[None, :] < counts[:, None])
+            counts = np.diff(ptr)[target_points]
+            rows = np.repeat(np.arange(len(target_points)), counts)
+            if full_target:
+                cols = self.grid.esup
+            else:
+                cols = np.concatenate([
+                    self.grid.esup[ptr[p]:ptr[p + 1]]
+                    for p in target_points
+                ]) if len(target_points) else np.zeros(0, dtype=DTYPE_I)
+            mask = (np.arange(weights.shape[1])[None, :] < counts[:, None])
+            if full_target:
+                self._csr_pattern = (counts, rows, cols, mask)
         data = weights[mask] + np.repeat(neumann_ws, counts)
 
         weights_sparse = sp.csr_matrix(
@@ -402,19 +429,38 @@ class Interpolator:
         weights_sparse.eliminate_zeros()
         return weights_sparse, np.asarray(neumann_ws)
 
-    def prepare_interpolator(self, method, variable, target_points):
+    def prepare_interpolator(self, method, variable, target_points,
+                             device_out=False):
+        """Compute per-node weights.
+
+        Default: fills and returns host arrays (weights, neumann_ws) —
+        the reference contract (interpolator.pyx:631-670).
+
+        device_out=True (gls only): returns the consolidated
+        DEVICE-resident (n_target, n_cols+1) float64 array
+        [weights | neumann_w] without the device->host transfer — for
+        on-device consumers and for benchmarking compute separately from
+        this environment's slow host link.
+        """
         n_target = len(target_points)
         n_columns = self.grid.MX_ELEMENTS_PER_POINT
         weights = np.zeros((n_target, n_columns), dtype=DTYPE_F)
         neumann_ws = np.zeros(n_target, dtype=DTYPE_F)
 
         t0 = time.perf_counter()
-        self.supported_methods[method](
+        kwargs = {}
+        if device_out:
+            if method != "gls":
+                raise ValueError("device_out is only supported for 'gls'")
+            kwargs["device_out"] = True
+        out = self.supported_methods[method](
             self.device_grid,
             self.cells_data, self.points_data, self.faces_data,
             self.variable_to_index, variable, target_points,
-            weights, neumann_ws)
+            weights, neumann_ws, **kwargs)
         self.logger.log(
             f"Interpolation done in {time.perf_counter() - t0:.2f} seconds",
             "INFO")
+        if device_out:
+            return out
         return weights, neumann_ws

@@ -72,11 +72,18 @@ def test_mesh_file_cache_roundtrip(tmp_path):
     os.remove(i1.is_cached(path))
 
 
-@pytest.mark.parametrize("fmt", ["msh", "vtk"])
-def test_mesh_io_roundtrip(fmt, tmp_path):
+@pytest.mark.parametrize("fmt,binary,ver", [
+    ("msh", False, "2.2"), ("msh", True, "2.2"),
+    ("msh", False, "4.1"), ("msh", True, "4.1"),
+    ("vtk", False, "-"), ("vtk", True, "-"),
+])
+def test_mesh_io_roundtrip(fmt, binary, ver, tmp_path):
     mesh = meshgen.mixed_hexa_tetra_mesh(2)
     path = str(tmp_path / f"m.{fmt}")
-    mio.write(path, mesh)
+    if fmt == "msh":
+        mio.write(path, mesh, binary=binary, msh_version=ver)
+    else:
+        mio.write(path, mesh, binary=binary)
     back = mio.read(path)
     assert np.allclose(back.points, mesh.points)
     assert {b.type: len(b) for b in back.cells} == \
@@ -85,6 +92,37 @@ def test_mesh_io_roundtrip(fmt, tmp_path):
     d2 = {b.type: b.data for b in back.cells}
     for t in d1:
         assert np.array_equal(d1[t], d2[t])
+
+
+def test_gmsh2_noncontiguous_tags(tmp_path):
+    """v2.2 files with sparse node tags must remap connectivity
+    consistently (the tag->index remap is threaded to the element
+    parser — a 1-based assumption would silently scramble cells)."""
+    path = str(tmp_path / "gap.msh")
+    # tags 10, 20, 30, 40 (sorted order = tag order here)
+    with open(path, "w") as f:
+        f.write("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n$Nodes\n4\n"
+                "10 0 0 0\n20 1 0 0\n30 0 1 0\n40 0 0 1\n$EndNodes\n"
+                "$Elements\n1\n1 4 2 0 0 10 20 30 40\n$EndElements\n")
+    m = mio.read(path)
+    assert m.cells[0].type == "tetra"
+    assert np.array_equal(m.cells[0].data, [[0, 1, 2, 3]])
+    assert np.allclose(m.points, [[0, 0, 0], [1, 0, 0],
+                                  [0, 1, 0], [0, 0, 1]])
+
+
+def test_vtk_binary_data_roundtrip(tmp_path):
+    mesh = meshgen.tetra_mesh(2)
+    n_cells = sum(len(b) for b in mesh.cells)
+    rng = np.random.default_rng(0)
+    mesh.cell_data = {"perm": [rng.standard_normal((n_cells, 9))]}
+    mesh.point_data = {"u": rng.standard_normal(len(mesh.points))}
+    path = str(tmp_path / "d.vtk")
+    mio.write(path, mesh, binary=True)
+    back = mio.read(path)
+    assert np.allclose(back.cell_data_dict["perm"]["tetra"],
+                       mesh.cell_data["perm"][0])
+    assert np.allclose(back.point_data["u"], mesh.point_data["u"])
 
 
 def test_vtk_data_roundtrip(tmp_path):
