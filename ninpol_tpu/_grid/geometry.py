@@ -21,6 +21,26 @@ from __future__ import annotations
 import numpy as np
 
 from ..defines import DTYPE_F
+from .. import native
+
+
+def _face_geometry_native(point_coords, inpofa, dim, precise=False):
+    """One native pass over faces -> (centers, normals, areas), or None.
+
+    Bit-identical to the NumPy wrappers below (same accumulation order,
+    same float32 intermediate chain)."""
+    if not native.available() or inpofa.shape[0] == 0:
+        return None
+    n_faces = inpofa.shape[0]
+    coords = np.ascontiguousarray(point_coords, dtype=np.float64)
+    inpofa = np.ascontiguousarray(inpofa, dtype=np.int64)
+    centers = np.zeros((n_faces, 3), dtype=DTYPE_F)
+    normals = np.zeros((n_faces, 3), dtype=DTYPE_F)
+    areas = np.zeros(n_faces, dtype=DTYPE_F)
+    native.lib().compute_face_geometry(
+        n_faces, inpofa, coords, dim, int(precise),
+        centers, normals, areas)
+    return centers, normals, areas
 
 
 def calculate_centroids(point_coords, connectivity, element_types, npoel,
@@ -34,6 +54,15 @@ def calculate_centroids(point_coords, connectivity, element_types, npoel,
     """
     n_elems = connectivity.shape[0]
     centroids = np.zeros((n_elems, 3), dtype=DTYPE_F)
+    if native.available() and n_elems:
+        native.lib().compute_centroids(
+            n_elems, connectivity.shape[1],
+            np.ascontiguousarray(connectivity, dtype=np.int64),
+            np.ascontiguousarray(element_types, dtype=np.int64),
+            np.ascontiguousarray(npoel, dtype=np.int64),
+            np.ascontiguousarray(point_coords, dtype=np.float64),
+            dim, centroids)
+        return centroids
     types = np.unique(element_types)
     for t in types:
         k = int(npoel[t])

@@ -189,13 +189,25 @@ class Grid:
         self.centroids = geometry.calculate_centroids(
             self.point_coords, self.inpoel, self.element_types, self.npoel,
             self.dim)
-        self.faces_centers = geometry.calculate_face_centers(
+        fg = geometry._face_geometry_native(
             self.point_coords, self.inpofa, self.dim)
+        if fg is not None:
+            # one native pass fills centers+normals+areas; stash the
+            # normals for calculate_normal_faces
+            self.faces_centers, self._fg_normals, self._fg_areas = fg
+        else:
+            self._fg_normals = None
+            self.faces_centers = geometry.calculate_face_centers(
+                self.point_coords, self.inpofa, self.dim)
         self.are_centroids_calculated = True
 
     def calculate_normal_faces(self, precise=False):
-        self.normal_faces, self.faces_areas = geometry.calculate_normals(
-            self.point_coords, self.inpofa, self.dim, precise=precise)
+        if not precise and getattr(self, "_fg_normals", None) is not None:
+            self.normal_faces = self._fg_normals
+            self.faces_areas = self._fg_areas
+        else:
+            self.normal_faces, self.faces_areas = geometry.calculate_normals(
+                self.point_coords, self.inpofa, self.dim, precise=precise)
         self.are_normals_calculated = True
 
     # ------------------------------------------------------------------

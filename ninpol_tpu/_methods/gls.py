@@ -53,7 +53,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import df32, pallas_qr
-from ..ops.pallas_chol import (chol_linv_f32, gram_f32, prec_apply_f32,
+from ..ops.pallas_chol import (chol_linv_f32, cholqr2_precond, gram_f32,
+                               prec_apply_f32, prec_apply_T,
                                round2_gram_f32)
 from ..ops.solve import (householder_lastrow,
                          solve_normal_refined_ops)
@@ -368,37 +369,104 @@ def _gls_bucket_kernel(
         # contracts the solve error by that factor, reaching dgels-level
         # accuracy in `n_refine + 1` sweeps.  Replaces per-node LAPACK
         # dgels (gls.pyx:420-474) with batched MXU matmuls.
-        Ah = assemble_from(f32, dKv_s[0], cvf, nL1_s[0], nL2_s[0],
-                           T1_s[0], tau_s[0], nLb_s[0])
-        d2 = jnp.einsum("bmn,bmn->bn", Ah, Ah)
-        deadc = d2 == 0
-        D32 = jnp.where(deadc, f32(0),
-                        jax.lax.rsqrt(jnp.where(deadc, f32(1), d2)))
-        As = Ah * D32[:, None, :]
-        eyen = jnp.eye(n, dtype=f32)[None]
+        #
         # diag(G1) == 1 after column equilibration, so a constant shift
         # of ~128*eps32 suffices (shifted CholQR: keeps the first
         # factorization positive definite past cond(A) ~ 1/sqrt(eps32);
         # round 2 heals the shift-induced distortion).  Dead (padding)
         # columns get a decoupled unit diagonal — their equilibrated
         # columns are exactly zero, so no coupling to real columns.
-        G1 = gram_f32(As) + eyen * (deadc.astype(f32)
-                                    + f32(1.5e-5))[:, :, None]
-        Li1 = chol_linv_f32(G1)
-        G2 = round2_gram_f32(As, Li1) + eyen * deadc.astype(f32)[:, :, None]
-        # fused: Lc = L2^{-1} @ Li1, so M r = Lc^T (Lc r) — one combined
-        # factor, applied by a single Pallas pass per sweep
-        Lc = chol_linv_f32(G2, mul_right=Li1)
-        dmax = jnp.maximum(
-            jnp.max(jnp.abs(jnp.diagonal(Li1, axis1=1, axis2=2)), axis=1),
-            jnp.max(jnp.abs(jnp.diagonal(Lc, axis1=1, axis2=2)), axis=1))
-        sick = dmax > f32(3e4)
-        D = D32.astype(f64)
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu:
+            # "VPU layout" end to end: assemble A TRANSPOSED (m, n, B)
+            # with nodes on the lane axis — cheap XLA elementwise ops in
+            # a COLUMN-PERMUTED basis [x | y | z | const] — then ONE
+            # Pallas pass builds the whole shifted-CholQR2 preconditioner
+            # in VMEM.  No (B,n,n)<->(n,n,B) transposes anywhere (those
+            # cost ~2-4 ms per 175 MB on this chip and dominated the
+            # per-node-matrix variant).
+            i32 = lambda a: a.astype(jnp.int32)
+            mv = lambda x: jnp.moveaxis(x.astype(f32), 0, -1)
+            dKvT = mv(dKv)                            # (E, 3, B)
+            nL1T, nL2T = mv(nL1m), mv(nL2m)           # (F, 3, B)
+            T1T, tauT = mv(T1m), mv(tauT2m)
+            iotaE = jnp.arange(E, dtype=jnp.int32)
+            S1T = (iotaE[None, :, None]
+                   == i32(Ij1).T[:, None, :]).astype(f32)   # (F, E, B)
+            S2T = (iotaE[None, :, None]
+                   == i32(Ij2).T[:, None, :]).astype(f32)
+            dST = S2T - S1T
+            eyeE = jnp.eye(E, dtype=f32)
+            colblocks = []
+            for c in range(3):
+                cell = eyeE[:, :, None] * dKvT[None, :, c, :]
+                r1 = (S2T * nL2T[:, c, :][:, None, :]
+                      - S1T * nL1T[:, c, :][:, None, :])
+                r2 = dST * T1T[:, c, :][:, None, :]
+                r3 = dST * tauT[:, c, :][:, None, :]
+                blocks = [cell, r1, r2, r3]
+                if with_neumann:
+                    SbT = (iotaE[None, :, None]
+                           == i32(Ikb).T[:, None, :]).astype(f32)
+                    nLbT = mv(_nLb_or_zero)
+                    blocks.append(-SbT * nLbT[:, c, :][:, None, :])
+                colblocks.append(jnp.concatenate(blocks, axis=0))
+            m_rows = colblocks[0].shape[0]
+            const = jnp.concatenate(
+                [cvf.astype(f32).T[:, None, :],
+                 jnp.zeros((m_rows - E, 1, B), f32)], axis=0)
+            A_T = jnp.concatenate(colblocks + [const], axis=1)
 
-        def M(r64):
-            v = (r64 * D).astype(f32)
-            v = prec_apply_f32(Lc, v)
-            return v.astype(f64) * D
+            Lc_T, Dp_T, dmaxr = cholqr2_precond(A_T)
+            D32 = Dp_T[:, 0, :].T                     # (B, n)
+            dmax = dmaxr[0]
+
+            def to_perm(r):
+                g = jnp.swapaxes(r[:, :3 * E].reshape(B, E, 3), 1, 2)
+                return jnp.concatenate([g.reshape(B, 3 * E),
+                                        r[:, 3 * E:]], axis=1)
+
+            def from_perm(r):
+                g = jnp.swapaxes(r[:, :3 * E].reshape(B, 3, E), 1, 2)
+                return jnp.concatenate([g.reshape(B, 3 * E),
+                                        r[:, 3 * E:]], axis=1)
+
+            D = D32.astype(f64)
+
+            def M(r64):
+                v = (to_perm(r64) * D).astype(f32)
+                vT = v.T[:, None, :]                  # (n, 1, B)
+                oT = prec_apply_T(Lc_T, vT)
+                return from_perm(oT[:, 0, :].T.astype(f64) * D)
+        else:
+            Ah = assemble_from(f32, dKv_s[0], cvf, nL1_s[0], nL2_s[0],
+                               T1_s[0], tau_s[0], nLb_s[0])
+            d2 = jnp.einsum("bmn,bmn->bn", Ah, Ah)
+            deadc = d2 == 0
+            D32 = jnp.where(deadc, f32(0),
+                            jax.lax.rsqrt(jnp.where(deadc, f32(1), d2)))
+            As = Ah * D32[:, None, :]
+            eyen = jnp.eye(n, dtype=f32)[None]
+            G1 = gram_f32(As) + eyen * (deadc.astype(f32)
+                                        + f32(1.5e-5))[:, :, None]
+            Li1 = chol_linv_f32(G1)
+            G2 = (round2_gram_f32(As, Li1)
+                  + eyen * deadc.astype(f32)[:, :, None])
+            # fused: Lc = L2^{-1} @ Li1, so M r = Lc^T (Lc r) — one
+            # combined factor, one application pass per sweep
+            Lc = chol_linv_f32(G2, mul_right=Li1)
+            dmax = jnp.maximum(
+                jnp.max(jnp.abs(jnp.diagonal(Li1, axis1=1, axis2=2)),
+                        axis=1),
+                jnp.max(jnp.abs(jnp.diagonal(Lc, axis1=1, axis2=2)),
+                        axis=1))
+            D = D32.astype(f64)
+
+            def M(r64):
+                v = (r64 * D).astype(f32)
+                v = prec_apply_f32(Lc, v)
+                return v.astype(f64) * D
+        sick = dmax > f32(3e4)
 
         b = jnp.zeros((B, n), f64).at[:, n - 1].set(1.0)
         y = M(b)

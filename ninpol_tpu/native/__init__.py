@@ -67,6 +67,14 @@ def _load():
                                 + [i64_p] * 2 + [ctypes.c_int64]
                                 + [i64_p] * 2)
     lib.build_edges.restype = ctypes.c_int64
+    f64_p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+    lib.compute_centroids.argtypes = ([ctypes.c_int64] * 2 + [i64_p] * 3
+                                      + [f64_p, ctypes.c_int64, f64_p])
+    lib.compute_centroids.restype = None
+    lib.compute_face_geometry.argtypes = (
+        [ctypes.c_int64, i64_p, f64_p, ctypes.c_int64, ctypes.c_int64,
+         f64_p, f64_p, f64_p])
+    lib.compute_face_geometry.restype = None
     _LIB = lib
     return lib
 

@@ -12,6 +12,7 @@
 //
 // Exposed as a C ABI consumed via ctypes (no pybind11 in this image).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
@@ -252,6 +253,129 @@ void build_esuf(i64 n_elems, i64 n_faces, i64 max_fpe,
     }
     for (i64 f = n_faces; f > 0; --f) esuf_ptr[f] = esuf_ptr[f - 1];
     esuf_ptr[0] = 0;
+}
+
+// Element centroids: vertex average in slot order, first `dim`
+// coordinates only (reference grid.pyx:669-704).  Bit-identical to the
+// NumPy path in _grid/geometry.py (same f64 accumulation order).
+void compute_centroids(i64 n_elems, i64 stride,
+                       const i64* conn, const i64* etypes, const i64* npoel,
+                       const double* coords /*(n_points, 3)*/, i64 dim,
+                       double* out /*(n_elems, 3) zeroed by caller*/) {
+    for (i64 e = 0; e < n_elems; ++e) {
+        const i64 np = npoel[etypes[e]];
+        const i64* row = conn + e * stride;
+        double acc[3] = {0.0, 0.0, 0.0};
+        for (i64 j = 0; j < np; ++j) {
+            const double* p = coords + row[j] * 3;
+            acc[0] += p[0]; acc[1] += p[1]; acc[2] += p[2];
+        }
+        const double inv = 1.0 / (double)np;
+        double* o = out + e * 3;
+        for (i64 c = 0; c < dim; ++c) o[c] = acc[c] * inv;
+    }
+}
+
+// Face centers + unit normals + areas in one pass
+// (reference grid.pyx:706-809).  Normals reproduce the reference's
+// float32 intermediate chain (grid.pyx:732-736 declare float scratch)
+// unless precise != 0 — matching _grid/geometry.py exactly.
+void compute_face_geometry(i64 n_faces, const i64* inpofa /*(n,4)*/,
+                           const double* coords, i64 dim, i64 precise,
+                           double* centers /*(n,3) zeroed*/,
+                           double* normals /*(n,3) zeroed*/,
+                           double* areas /*(n)*/) {
+    for (i64 f = 0; f < n_faces; ++f) {
+        const i64* fp = inpofa + f * 4;
+        i64 k = 0;
+        double acc[3] = {0.0, 0.0, 0.0};
+        for (; k < 4 && fp[k] >= 0; ++k) {
+            const double* p = coords + fp[k] * 3;
+            acc[0] += p[0]; acc[1] += p[1]; acc[2] += p[2];
+        }
+        const double inv = 1.0 / (double)k;
+        for (i64 c = 0; c < dim; ++c) centers[f * 3 + c] = acc[c] * inv;
+
+        const double* p1 = coords + fp[0] * 3;
+        const double* p2 = coords + fp[1] * 3;
+        if (dim == 3) {
+            const double* p3 = coords + fp[2] * 3;
+            if (precise) {
+                const double v1[3] = {p1[0] - p2[0], p1[1] - p2[1],
+                                      p1[2] - p2[2]};
+                const double v2[3] = {p3[0] - p2[0], p3[1] - p2[1],
+                                      p3[2] - p2[2]};
+                const double nx = v1[1] * v2[2] - v1[2] * v2[1];
+                const double ny = v1[2] * v2[0] - v1[0] * v2[2];
+                const double nz = v1[0] * v2[1] - v1[1] * v2[0];
+                const double nrm = std::sqrt(nx * nx + ny * ny + nz * nz);
+                normals[f * 3 + 0] = nx / nrm;
+                normals[f * 3 + 1] = ny / nrm;
+                normals[f * 3 + 2] = nz / nrm;
+                double area = nrm / 2.0;
+                if (fp[3] != -1) {
+                    const double* p4 = coords + fp[3] * 3;
+                    const double w1[3] = {p1[0] - p4[0], p1[1] - p4[1],
+                                          p1[2] - p4[2]};
+                    const double w2[3] = {p3[0] - p4[0], p3[1] - p4[1],
+                                          p3[2] - p4[2]};
+                    const double mx = w1[1] * w2[2] - w1[2] * w2[1];
+                    const double my = w1[2] * w2[0] - w1[0] * w2[2];
+                    const double mz = w1[0] * w2[1] - w1[1] * w2[0];
+                    area = (nrm + std::sqrt(mx * mx + my * my + mz * mz))
+                           / 2.0;
+                }
+                areas[f] = area;
+            } else {
+                const float v1[3] = {(float)(p1[0] - p2[0]),
+                                     (float)(p1[1] - p2[1]),
+                                     (float)(p1[2] - p2[2])};
+                const float v2[3] = {(float)(p3[0] - p2[0]),
+                                     (float)(p3[1] - p2[1]),
+                                     (float)(p3[2] - p2[2])};
+                const float nx = v1[1] * v2[2] - v1[2] * v2[1];
+                const float ny = v1[2] * v2[0] - v1[0] * v2[2];
+                const float nz = v1[0] * v2[1] - v1[1] * v2[0];
+                const float nrm = std::sqrt(nx * nx + ny * ny + nz * nz);
+                normals[f * 3 + 0] = (double)(nx / nrm);
+                normals[f * 3 + 1] = (double)(ny / nrm);
+                normals[f * 3 + 2] = (double)(nz / nrm);
+                double area = (double)nrm / 2.0;
+                if (fp[3] != -1) {
+                    const double* p4 = coords + fp[3] * 3;
+                    const float w1[3] = {(float)(p1[0] - p4[0]),
+                                         (float)(p1[1] - p4[1]),
+                                         (float)(p1[2] - p4[2])};
+                    const float w2[3] = {(float)(p3[0] - p4[0]),
+                                         (float)(p3[1] - p4[1]),
+                                         (float)(p3[2] - p4[2])};
+                    const float mx = w1[1] * w2[2] - w1[2] * w2[1];
+                    const float my = w1[2] * w2[0] - w1[0] * w2[2];
+                    const float mz = w1[0] * w2[1] - w1[1] * w2[0];
+                    const float s2 = mx * mx + my * my + mz * mz;
+                    area = ((double)nrm + std::sqrt((double)s2)) / 2.0;
+                }
+                areas[f] = area;
+            }
+        } else {
+            if (precise) {
+                const double v1[2] = {p1[0] - p2[0], p1[1] - p2[1]};
+                const double nx = -v1[1], ny = v1[0];
+                const double nrm = std::sqrt(nx * nx + ny * ny);
+                normals[f * 3 + 0] = nx / nrm;
+                normals[f * 3 + 1] = ny / nrm;
+                areas[f] = nrm;
+            } else {
+                const float v1[2] = {(float)(p1[0] - p2[0]),
+                                     (float)(p1[1] - p2[1])};
+                const float nx = -v1[1], ny = v1[0];
+                const float nrm = std::sqrt(nx * nx + ny * ny);
+                normals[f * 3 + 0] = (double)(nx / nrm);
+                normals[f * 3 + 1] = (double)(ny / nrm);
+                areas[f] = (double)nrm;
+            }
+        }
+    }
 }
 
 // Unique edges by first encounter (reference grid.pyx:527-580).

@@ -122,6 +122,149 @@ def round2_gram_f32(A, Li):
     )(A, Li)
 
 
+# ---------------------------------------------------------------------------
+# Single-pass CholQR2 preconditioner build, "VPU layout" end to end
+# ---------------------------------------------------------------------------
+def _gram_T(a, n):
+    """A^T A for (m, n, NT)-layout a -> (n, n, NT), unrolled over j."""
+    cols = []
+    for j in range(n):
+        cols.append(jnp.sum(a * a[:, j:j + 1, :], axis=0))   # (n, NT)
+    return jnp.stack(cols, axis=1)                            # (n, n, NT)
+
+
+def _chol_inplace(gscr, liscr, n, tiny, mul=None):
+    """Unrolled Cholesky of gscr (n, n, NT) in place; liscr <- L^{-1}
+    (or L^{-1} @ mul rows if mul given)."""
+    for k in range(n):
+        d2 = gscr[k, k, :][None]
+        d2c = jnp.maximum(d2, _F32(tiny))
+        dinv = jax.lax.rsqrt(d2c)
+        if k + 1 < n:
+            colb = gscr[k + 1:, k, :] * dinv
+            gscr[k + 1:, k, :] = colb
+            gscr[k + 1:, k + 1:, :] = (gscr[k + 1:, k + 1:, :]
+                                       - colb[:, None, :] * colb[None, :, :])
+        if mul is None:
+            base = (jax.lax.broadcasted_iota(jnp.int32, (n, NT), 0)
+                    == k).astype(_F32)
+        else:
+            base = mul[k, :, :]
+        if k == 0:
+            liscr[0, :, :] = base * dinv
+        else:
+            lrow = gscr[k, :k, :]
+            s = jnp.sum(lrow[:, None, :] * liscr[:k, :, :], axis=0)
+            liscr[k, :, :] = (base - s) * dinv
+
+
+def _precond_kernel(a_ref, lc_ref, d_ref, dmax_ref, g_scr, li_scr,
+                    *, m, n, tiny, shift):
+    # equilibrate columns (dead = all-zero padding columns)
+    a = a_ref[:]                                     # (m, n, NT)
+    d2 = jnp.sum(a * a, axis=0)                      # (n, NT)
+    dead = (d2 == 0).astype(_F32)
+    dinv = jax.lax.rsqrt(jnp.where(d2 == 0, _F32(1), d2)) * (1 - dead)
+    a = a * dinv[None, :, :]
+    d_ref[:] = dinv[:, None, :]
+    eyen = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+            ).astype(_F32)[:, :, None]
+
+    # round 1: G1 = As^T As (+shifted diag), Li1 = chol(G1)^-1
+    g_scr[:] = _gram_T(a, n) + eyen * (dead + _F32(shift))[None, :, :]
+    _chol_inplace(g_scr, li_scr, n, tiny)
+
+    # round 2: Q = As Li1^T, G2 = Q^T Q
+    li = li_scr[:]
+    q_cols = []
+    for i in range(n):
+        q_cols.append(jnp.sum(a * li[i][None, :, :], axis=1))  # (m, NT)
+    q = jnp.stack(q_cols, axis=1)                    # (m, n, NT)
+    g_scr[:] = _gram_T(q, n) + eyen * dead[None, :, :]
+    # Lc = L2^{-1} @ Li1 (fused): M r = Lc^T (Lc r).  diag(Lc) =
+    # diag(Li2) * diag(Li1), so one max over it detects a clamped or
+    # near-breakdown pivot in EITHER round.
+    _chol_inplace(g_scr, lc_ref, n, tiny, mul=li_scr)
+    dmax = jnp.max(jnp.abs(
+        jnp.stack([lc_ref[k, k, :] for k in range(n)], 0)), axis=0)
+    dmax_ref[:] = dmax[None]
+
+
+def cholqr2_precond(A_T, tiny=1e-12, shift=1.5e-5):
+    """One fused pass: column equilibration + shifted CholeskyQR2.
+
+    A_T: (m, n, B) float32 — the assembled per-node matrices with nodes
+    on the LAST axis (the 128-lane axis): every step (Gram, Cholesky,
+    Q = A R1^{-1}, second Gram, combined factor Lc = L2^{-1} L1^{-1}) is
+    a full-width VPU op, nothing leaves VMEM in between, and no
+    layout transposes are needed anywhere in the chain (the per-node
+    matmul layout costs ~2-4 ms per 175 MB transpose on this chip).
+
+    Returns (Lc (n,n,B), Dinv (n,1,B), dmax (1,B)); M r = D Lc^T Lc D r.
+    TPU only — the CPU path composes the same algorithm from
+    LAPACK-backed pieces in methods/gls.py.
+    """
+    m, n, B = A_T.shape
+    kern = functools.partial(_precond_kernel, m=m, n=n, tiny=tiny,
+                             shift=shift)
+    aspec = pl.BlockSpec((m, n, NT), lambda i: (i * 0, i * 0, i),
+                         memory_space=pltpu.VMEM)
+    nspec = pl.BlockSpec((n, n, NT), lambda i: (i * 0, i * 0, i),
+                         memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((n, 1, NT), lambda i: (i * 0, i * 0, i),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, NT), lambda i: (i * 0, i),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(B // NT,),
+        in_specs=[aspec],
+        out_specs=[nspec, dspec, sspec],
+        out_shape=[jax.ShapeDtypeStruct((n, n, B), _F32),
+                   jax.ShapeDtypeStruct((n, 1, B), _F32),
+                   jax.ShapeDtypeStruct((1, B), _F32)],
+        scratch_shapes=[pltpu.VMEM((n, n, NT), _F32),
+                        pltpu.VMEM((n, n, NT), _F32)],
+        input_output_aliases={},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=INTERPRET,
+    )(A_T)
+
+
+def _prec_apply_T_kernel(lc_ref, v_ref, o_ref, *, n):
+    v = v_ref[:]                                     # (n, 1, NT)
+    lc = lc_ref[:]
+    w1 = jnp.sum(lc * jnp.swapaxes(v, 0, 1), axis=1)
+    w2 = jnp.sum(lc * w1[:, None, :], axis=0)
+    o_ref[:] = w2[:, None, :]
+
+
+def prec_apply_T(Lc_T, v_T):
+    """M-apply in the transposed layout: Lc_T (n,n,B), v_T (n,1,B) f32
+    -> (n,1,B).  No layout changes on the big factor."""
+    n, _, B = Lc_T.shape
+    nspec = pl.BlockSpec((n, n, NT), lambda i: (i * 0, i * 0, i),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((n, 1, NT), lambda i: (i * 0, i * 0, i),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_prec_apply_T_kernel, n=n),
+        grid=(B // NT,),
+        in_specs=[nspec, vspec],
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((n, 1, B), _F32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=INTERPRET,
+    )(Lc_T, v_T)
+
+
 def _prec_apply_kernel(lc_ref, v_ref, o_ref, *, n):
     """o = Lc^T (Lc v) per node, (n, n, NT) layout."""
     v = v_ref[:]                                    # (n, 1, NT)

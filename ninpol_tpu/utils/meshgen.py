@@ -104,24 +104,53 @@ def pyramid_tetra_mesh(n: int) -> Mesh:
 
 
 def mixed_hexa_tetra_mesh(n: int) -> Mesh:
-    """Half the cubes stay hexa, the other half split into 6 tets
-    (checkerboard).  Produces a conforming mixed-type mesh only when the
-    shared quad faces are untouched, which this split guarantees (tet
-    diagonals live inside the cubes).  NOTE: the 6-tet split adds diagonals
-    on the cube faces, so to stay conforming we split *all* cubes of one
-    x-slab instead of a checkerboard."""
+    """CONFORMING mixed hexa/pyramid/tetra mesh (n >= 2).
+
+    x-slabs: [0, h-1) stay hexahedra; slab h-1 is a pyramid transition
+    layer (each cube -> 6 center-apex pyramids, except the +x-facing
+    pyramid which splits into 2 tets whose face diagonal matches the tet
+    region); slabs [h, n) use the 6-tet Kuhn split (all faces' diagonals
+    conform across cubes).  Every interior face is shared exactly by two
+    cells — no hanging diagonals (the previous hexa|tet construction left
+    the interface quads split on one side only)."""
+    h = max(n // 2, 1)
+    pts = _grid_points(n)
     c = _cell_corners(n)
     i = (np.arange(len(c)) // (n * n)) % n  # x-index (ij-major ordering)
-    hex_mask = i < (n // 2)
-    hexes = c[hex_mask]
-    rest = c[~hex_mask]
-    tets = np.concatenate([rest[:, list(t)] for t in _TET_SPLIT], axis=0)
+
+    hexes = c[i < h - 1]
+    trans = c[i == h - 1]
+    tet_cubes = c[i >= h]
+
+    # transition cubes: center-apex pyramids; +x face -> 2 matching tets
+    centers = pts[trans].mean(axis=1)
+    center_ids = len(pts) + np.arange(len(trans))
+    all_pts = np.concatenate([pts, centers], axis=0)
+    faces = [
+        (0, 3, 2, 1), (4, 5, 6, 7), (0, 1, 5, 4),
+        (2, 3, 7, 6), (3, 0, 4, 7),                 # not the +x face
+    ]
+    pyr = [np.concatenate([trans[:, list(f)], center_ids[:, None]], axis=1)
+           for f in faces]
+    pyramids = np.concatenate(pyr, axis=0) if len(trans) else \
+        np.zeros((0, 5), np.int64)
+    # +x face (1,2,6,5): diagonal 1-6 matches the Kuhn split's 0-7
+    # diagonal on the adjacent tet cube's -x face
+    t1 = np.concatenate([trans[:, [1, 2, 6]], center_ids[:, None]], axis=1)
+    t2 = np.concatenate([trans[:, [1, 6, 5]], center_ids[:, None]], axis=1)
+
+    tets = [t1, t2] if len(trans) else []
+    if len(tet_cubes):
+        tets.append(np.concatenate(
+            [tet_cubes[:, list(t)] for t in _TET_SPLIT], axis=0))
     blocks = []
     if len(hexes):
         blocks.append(CellBlock("hexahedron", hexes))
-    if len(tets):
-        blocks.append(CellBlock("tetra", tets))
-    return Mesh(_grid_points(n), blocks)
+    if len(pyramids):
+        blocks.append(CellBlock("pyramid", pyramids))
+    if tets:
+        blocks.append(CellBlock("tetra", np.concatenate(tets, axis=0)))
+    return Mesh(all_pts, blocks)
 
 
 def quad_mesh(n: int) -> Mesh:

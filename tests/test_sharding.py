@@ -43,13 +43,25 @@ def test_sharded_matches_single_device(shard_geometry):
 
     mesh = make_mesh(8)
     run = sharded_gls(dg, mesh, shard_geometry=shard_geometry)
-    # interior bucket only (with_neumann=False path is the sharded target)
+    # BOTH kernel variants sharded: interior (no Neumann rows) and the
+    # Neumann-boundary bucket (extra row block + neumann weights)
     is_neu = nflag_h[tp] != 0
-    buckets = dg.buckets(tp, active & ~is_neu)
-    assert buckets
-    b = buckets[0]
-    w, wn, err = run(b, perm, dmag, nflag, nval)
-    w = np.asarray(w)
-    sel = b["valid"]
-    pos = b["pos"][sel]
-    assert np.abs(w[sel][:, :W_ref.shape[1]] - W_ref[pos]).max() < 1e-11
+    checked = 0
+    for mask, wneu in ((active & ~is_neu, False), (active & is_neu, True)):
+        buckets = dg.buckets(tp, mask)
+        assert buckets
+        b = buckets[0]
+        w, wn, err = run(b, perm, dmag, nflag, nval, with_neumann=wneu)
+        w = np.asarray(w)
+        sel = b["valid"] & (np.asarray(err) <= 1e-11)
+        pos = b["pos"][sel]
+        assert sel.sum() > 0.8 * b["valid"].sum()
+        ncols = min(w.shape[1], W_ref.shape[1])
+        assert np.abs(w[sel][:, :ncols] - W_ref[pos][:, :ncols]).max() \
+            < 1e-11
+        assert np.abs(W_ref[pos][:, ncols:]).max(initial=0.0) == 0.0
+        if wneu:
+            NW_ref = interp.prepare_interpolator("gls", "ALH", tp)[1]
+            assert np.abs(np.asarray(wn)[sel] - NW_ref[pos]).max() < 1e-11
+        checked += int(sel.sum())
+    assert checked > 0

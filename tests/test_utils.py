@@ -51,3 +51,20 @@ def test_meshgen_families_valid(fam):
         # no degenerate cells (repeated points)
         for row in block.data[:8]:
             assert len(set(row.tolist())) == len(row)
+
+
+@pytest.mark.parametrize("fam", ["hexa", "tetra", "prism", "mixed",
+                                 "misc"])
+def test_meshgen_families_conforming(fam):
+    """Every interior face must be shared by exactly two cells: no point
+    strictly inside the unit cube may be flagged boundary (a hanging
+    diagonal on a shared face would surface here — the old hexa|tetra
+    'mixed' family failed this)."""
+    from ninpol_tpu.interpolator import Interpolator
+    mesh = meshgen.FAMILIES[fam](3)
+    interp = Interpolator()
+    interp.load_mesh(mesh_obj=mesh)
+    g = interp.grid
+    coords = g.point_coords
+    interior = ((coords > 1e-9) & (coords < 1 - 1e-9)).all(axis=1)
+    assert not (interior & g.boundary_points.astype(bool)).any()
