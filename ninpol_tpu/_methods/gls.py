@@ -378,48 +378,63 @@ def _gls_bucket_kernel(
         # columns are exactly zero, so no coupling to real columns.
         on_tpu = jax.default_backend() == "tpu"
         if on_tpu:
-            # "VPU layout" end to end: assemble A TRANSPOSED (m, n, B)
-            # with nodes on the lane axis — cheap XLA elementwise ops in
-            # a COLUMN-PERMUTED basis [x | y | z | const] — then ONE
-            # Pallas pass builds the whole shifted-CholQR2 preconditioner
-            # in VMEM.  No (B,n,n)<->(n,n,B) transposes anywhere (those
-            # cost ~2-4 ms per 175 MB on this chip and dominated the
-            # per-node-matrix variant).
+            # "VPU layout" end to end: assemble A in the TILED transposed
+            # layout (G, m, n, NT) — G node tiles of NT=128 on the lane
+            # axis — via cheap XLA elementwise ops in a COLUMN-PERMUTED
+            # basis [x | y | z | const], then ONE Pallas pass builds the
+            # whole shifted-CholQR2 preconditioner in VMEM (see
+            # ops/pallas_chol.cholqr2_precond for why this exact layout).
+            from ..ops.pallas_chol import NT as _NT
+            Gt = B // _NT
             i32 = lambda a: a.astype(jnp.int32)
-            mv = lambda x: jnp.moveaxis(x.astype(f32), 0, -1)
-            dKvT = mv(dKv)                            # (E, 3, B)
-            nL1T, nL2T = mv(nL1m), mv(nL2m)           # (F, 3, B)
-            T1T, tauT = mv(T1m), mv(tauT2m)
+
+            def tile(x):
+                """(B, K, 3) f64 piece -> (G, K, 3, NT) f32."""
+                K = x.shape[1]
+                return jnp.transpose(
+                    x.astype(f32).reshape(Gt, _NT, K, 3), (0, 2, 3, 1))
+
+            def tile2(x):
+                """(B, K) -> (G, K, NT)."""
+                K = x.shape[1]
+                return jnp.transpose(x.reshape(Gt, _NT, K), (0, 2, 1))
+
+            dKvT = tile(dKv)
+            nL1T, nL2T = tile(nL1m), tile(nL2m)
+            T1T, tauT = tile(T1m), tile(tauT2m)
             iotaE = jnp.arange(E, dtype=jnp.int32)
-            S1T = (iotaE[None, :, None]
-                   == i32(Ij1).T[:, None, :]).astype(f32)   # (F, E, B)
-            S2T = (iotaE[None, :, None]
-                   == i32(Ij2).T[:, None, :]).astype(f32)
+            Ij1T = tile2(i32(Ij1))                     # (G, F, NT)
+            Ij2T = tile2(i32(Ij2))
+            S1T = (iotaE[None, None, :, None]
+                   == Ij1T[:, :, None, :]).astype(f32)  # (G, F, E, NT)
+            S2T = (iotaE[None, None, :, None]
+                   == Ij2T[:, :, None, :]).astype(f32)
             dST = S2T - S1T
             eyeE = jnp.eye(E, dtype=f32)
             colblocks = []
             for c in range(3):
-                cell = eyeE[:, :, None] * dKvT[None, :, c, :]
-                r1 = (S2T * nL2T[:, c, :][:, None, :]
-                      - S1T * nL1T[:, c, :][:, None, :])
-                r2 = dST * T1T[:, c, :][:, None, :]
-                r3 = dST * tauT[:, c, :][:, None, :]
+                cell = eyeE[None, :, :, None] * dKvT[:, None, :, c, :]
+                r1 = (S2T * nL2T[:, :, c, :][:, :, None, :]
+                      - S1T * nL1T[:, :, c, :][:, :, None, :])
+                r2 = dST * T1T[:, :, c, :][:, :, None, :]
+                r3 = dST * tauT[:, :, c, :][:, :, None, :]
                 blocks = [cell, r1, r2, r3]
                 if with_neumann:
-                    SbT = (iotaE[None, :, None]
-                           == i32(Ikb).T[:, None, :]).astype(f32)
-                    nLbT = mv(_nLb_or_zero)
-                    blocks.append(-SbT * nLbT[:, c, :][:, None, :])
-                colblocks.append(jnp.concatenate(blocks, axis=0))
-            m_rows = colblocks[0].shape[0]
+                    SbT = (iotaE[None, None, :, None]
+                           == tile2(i32(Ikb))[:, :, None, :]).astype(f32)
+                    nLbT = tile(_nLb_or_zero)
+                    blocks.append(-SbT * nLbT[:, :, c, :][:, :, None, :])
+                colblocks.append(jnp.concatenate(blocks, axis=1))
+            m_rows = colblocks[0].shape[1]
             const = jnp.concatenate(
-                [cvf.astype(f32).T[:, None, :],
-                 jnp.zeros((m_rows - E, 1, B), f32)], axis=0)
-            A_T = jnp.concatenate(colblocks + [const], axis=1)
+                [tile2(cvf.astype(f32))[:, :, None, :],
+                 jnp.zeros((Gt, m_rows - E, 1, _NT), f32)], axis=1)
+            A_t = jnp.concatenate(colblocks + [const], axis=2)
 
-            Lc_T, Dp_T, dmaxr = cholqr2_precond(A_T)
-            D32 = Dp_T[:, 0, :].T                     # (B, n)
-            dmax = dmaxr[0]
+            Lc_t, Dp_t, dmaxr = cholqr2_precond(A_t)
+            # (G, n, 1, NT) -> (B, n)
+            D32 = jnp.transpose(Dp_t[:, :, 0, :], (0, 2, 1)).reshape(B, n)
+            dmax = dmaxr.reshape(B)
 
             def to_perm(r):
                 g = jnp.swapaxes(r[:, :3 * E].reshape(B, E, 3), 1, 2)
@@ -435,9 +450,11 @@ def _gls_bucket_kernel(
 
             def M(r64):
                 v = (to_perm(r64) * D).astype(f32)
-                vT = v.T[:, None, :]                  # (n, 1, B)
-                oT = prec_apply_T(Lc_T, vT)
-                return from_perm(oT[:, 0, :].T.astype(f64) * D)
+                vt = jnp.transpose(v.reshape(Gt, _NT, n),
+                                   (0, 2, 1))[:, :, None, :]
+                ot = prec_apply_T(Lc_t, vt)
+                o = jnp.transpose(ot[:, :, 0, :], (0, 2, 1)).reshape(B, n)
+                return from_perm(o.astype(f64) * D)
         else:
             Ah = assemble_from(f32, dKv_s[0], cvf, nL1_s[0], nL2_s[0],
                                T1_s[0], tau_s[0], nLb_s[0])
@@ -493,20 +510,20 @@ def _gls_bucket_kernel(
                            nLb_h)
         Al = assemble_from(f32, dKv_l, jnp.zeros_like(cvf), nL1_l, nL2_l,
                            T1_l, tau_l, nLb_l)
+        # dead (padding) columns: APPENDED identity rows keep the
+        # Householder diagonal aligned without coupling padding columns
+        # to real rows (such columns never reach the weights — their
+        # cells have dKv = 0 and cvf = 0 in mul_A)
+        dead = jnp.einsum("bmn,bmn->bn", Ah, Ah) == 0
+        reg = jnp.eye(n, dtype=f32)[None] * dead[:, None, :].astype(f32)
+        Ah = jnp.concatenate([Ah, reg], axis=1)
+        Al = jnp.concatenate([Al, jnp.zeros_like(reg)], axis=1)
         # pad rows to the kernel's row-block multiple
         mrows = Ah.shape[1]
         pad = (-mrows) % pallas_qr.MB
         if pad:
             Ah = jnp.pad(Ah, ((0, 0), (0, pad), (0, 0)))
             Al = jnp.pad(Al, ((0, 0), (0, pad), (0, 0)))
-        # dead (padding) columns: unit entry keeps the Householder
-        # diagonal aligned; such columns never reach the weights (their
-        # cells have dKv = 0 and cvf = 0 in mul_A).
-        dead = jnp.einsum("bmn,bmn->bn", Ah, Ah) == 0
-        rows_eye = (jnp.arange(Ah.shape[1])[None, :, None]
-                    == jnp.arange(n)[None, None, :])
-        Ah = Ah + jnp.where(rows_eye & dead[:, None, :], 1.0,
-                            0.0).astype(f32)
 
         Rh, Rl = pallas_qr.qr_r_df32(Ah, Al)
         b32 = jnp.zeros((B, n), f32).at[:, n - 1].set(1.0)

@@ -161,12 +161,12 @@ def _chol_inplace(gscr, liscr, n, tiny, mul=None):
 def _precond_kernel(a_ref, lc_ref, d_ref, dmax_ref, g_scr, li_scr,
                     *, m, n, tiny, shift):
     # equilibrate columns (dead = all-zero padding columns)
-    a = a_ref[:]                                     # (m, n, NT)
+    a = a_ref[0]                                     # (m, n, NT)
     d2 = jnp.sum(a * a, axis=0)                      # (n, NT)
     dead = (d2 == 0).astype(_F32)
     dinv = jax.lax.rsqrt(jnp.where(d2 == 0, _F32(1), d2)) * (1 - dead)
     a = a * dinv[None, :, :]
-    d_ref[:] = dinv[:, None, :]
+    d_ref[0] = dinv[:, None, :]
     eyen = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
             == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
             ).astype(_F32)[:, :, None]
@@ -184,85 +184,100 @@ def _precond_kernel(a_ref, lc_ref, d_ref, dmax_ref, g_scr, li_scr,
     g_scr[:] = _gram_T(q, n) + eyen * dead[None, :, :]
     # Lc = L2^{-1} @ Li1 (fused): M r = Lc^T (Lc r).  diag(Lc) =
     # diag(Li2) * diag(Li1), so one max over it detects a clamped or
-    # near-breakdown pivot in EITHER round.
-    _chol_inplace(g_scr, lc_ref, n, tiny, mul=li_scr)
-    dmax = jnp.max(jnp.abs(
-        jnp.stack([lc_ref[k, k, :] for k in range(n)], 0)), axis=0)
-    dmax_ref[:] = dmax[None]
+    # near-breakdown pivot in EITHER round.  li_scr is reused as the Lc
+    # accumulator (its Li1 rows are consumed in order as `mul`).
+    li1 = li_scr[:]
+    dmax = jnp.zeros((NT,), _F32)
+    # inline chol with mul = li1 rows, accumulating into lc list
+    for k in range(n):
+        d2 = g_scr[k, k, :][None]
+        d2c = jnp.maximum(d2, _F32(tiny))
+        dinv2 = jax.lax.rsqrt(d2c)
+        if k + 1 < n:
+            colb = g_scr[k + 1:, k, :] * dinv2
+            g_scr[k + 1:, k, :] = colb
+            g_scr[k + 1:, k + 1:, :] = (
+                g_scr[k + 1:, k + 1:, :]
+                - colb[:, None, :] * colb[None, :, :])
+        base = li1[k]
+        if k == 0:
+            li_scr[0, :, :] = base * dinv2
+        else:
+            lrow = g_scr[k, :k, :]
+            s = jnp.sum(lrow[:, None, :] * li_scr[:k, :, :], axis=0)
+            li_scr[k, :, :] = (base - s) * dinv2
+        dmax = jnp.maximum(dmax, jnp.abs(li_scr[k, k, :]))
+    lc_ref[0] = li_scr[:]
+    dmax_ref[0] = dmax[None]
 
 
-def cholqr2_precond(A_T, tiny=1e-12, shift=1.5e-5):
+def cholqr2_precond(A_t, tiny=1e-12, shift=1.5e-5):
     """One fused pass: column equilibration + shifted CholeskyQR2.
 
-    A_T: (m, n, B) float32 — the assembled per-node matrices with nodes
-    on the LAST axis (the 128-lane axis): every step (Gram, Cholesky,
-    Q = A R1^{-1}, second Gram, combined factor Lc = L2^{-1} L1^{-1}) is
-    a full-width VPU op, nothing leaves VMEM in between, and no
-    layout transposes are needed anywhere in the chain (the per-node
-    matmul layout costs ~2-4 ms per 175 MB transpose on this chip).
+    A_t: (G, m, n, NT) float32, G = B/NT node tiles — the assembled
+    per-node matrices with nodes on the 128-lane axis.  Every step
+    (Gram, Cholesky, Q = A R1^{-1}, second Gram, combined factor
+    Lc = L2^{-1} L1^{-1}) is a full-width VPU op and nothing leaves VMEM
+    in between.  The TILED 4D layout matters: a (n, n, NT) block of an
+    (n, n, B) array is ~5000 strided 512-byte DMA rows (~90 us of
+    descriptor overhead PER GRID STEP — measured to dominate every
+    small kernel); a (1, m, n, NT) block is one contiguous transfer.
 
-    Returns (Lc (n,n,B), Dinv (n,1,B), dmax (1,B)); M r = D Lc^T Lc D r.
-    TPU only — the CPU path composes the same algorithm from
-    LAPACK-backed pieces in methods/gls.py.
+    Returns (Lc (G,n,n,NT), Dinv (G,n,1,NT), dmax (G,1,NT));
+    M r = D Lc^T Lc D r.  TPU only — the CPU path composes the same
+    algorithm from LAPACK-backed pieces in methods/gls.py.
     """
-    m, n, B = A_T.shape
+    G, m, n, _ = A_t.shape
     kern = functools.partial(_precond_kernel, m=m, n=n, tiny=tiny,
                              shift=shift)
-    aspec = pl.BlockSpec((m, n, NT), lambda i: (i * 0, i * 0, i),
-                         memory_space=pltpu.VMEM)
-    nspec = pl.BlockSpec((n, n, NT), lambda i: (i * 0, i * 0, i),
-                         memory_space=pltpu.VMEM)
-    dspec = pl.BlockSpec((n, 1, NT), lambda i: (i * 0, i * 0, i),
-                         memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((1, NT), lambda i: (i * 0, i),
-                         memory_space=pltpu.VMEM)
+    sp = lambda *dims: pl.BlockSpec(
+        (1,) + dims, lambda i: (i,) + (i * 0,) * len(dims),
+        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
-        grid=(B // NT,),
-        in_specs=[aspec],
-        out_specs=[nspec, dspec, sspec],
-        out_shape=[jax.ShapeDtypeStruct((n, n, B), _F32),
-                   jax.ShapeDtypeStruct((n, 1, B), _F32),
-                   jax.ShapeDtypeStruct((1, B), _F32)],
+        grid=(G,),
+        in_specs=[sp(m, n, NT)],
+        out_specs=[sp(n, n, NT), sp(n, 1, NT), sp(1, NT)],
+        out_shape=[jax.ShapeDtypeStruct((G, n, n, NT), _F32),
+                   jax.ShapeDtypeStruct((G, n, 1, NT), _F32),
+                   jax.ShapeDtypeStruct((G, 1, NT), _F32)],
         scratch_shapes=[pltpu.VMEM((n, n, NT), _F32),
                         pltpu.VMEM((n, n, NT), _F32)],
-        input_output_aliases={},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=INTERPRET,
-    )(A_T)
+    )(A_t)
 
 
 def _prec_apply_T_kernel(lc_ref, v_ref, o_ref, *, n):
-    v = v_ref[:]                                     # (n, 1, NT)
-    lc = lc_ref[:]
+    v = v_ref[0]                                     # (n, 1, NT)
+    lc = lc_ref[0]
     w1 = jnp.sum(lc * jnp.swapaxes(v, 0, 1), axis=1)
     w2 = jnp.sum(lc * w1[:, None, :], axis=0)
-    o_ref[:] = w2[:, None, :]
+    o_ref[0] = w2[:, None, :]
 
 
-def prec_apply_T(Lc_T, v_T):
-    """M-apply in the transposed layout: Lc_T (n,n,B), v_T (n,1,B) f32
-    -> (n,1,B).  No layout changes on the big factor."""
-    n, _, B = Lc_T.shape
-    nspec = pl.BlockSpec((n, n, NT), lambda i: (i * 0, i * 0, i),
-                         memory_space=pltpu.VMEM)
-    vspec = pl.BlockSpec((n, 1, NT), lambda i: (i * 0, i * 0, i),
-                         memory_space=pltpu.VMEM)
+def prec_apply_T(Lc_t, v_t):
+    """M-apply in the tiled layout: Lc_t (G,n,n,NT), v_t (G,n,1,NT) f32
+    -> (G,n,1,NT).  One contiguous DMA per tile (see cholqr2_precond)."""
+    G, n, _, _ = Lc_t.shape
+    sp = lambda *dims: pl.BlockSpec(
+        (1,) + dims, lambda i: (i,) + (i * 0,) * len(dims),
+        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_prec_apply_T_kernel, n=n),
-        grid=(B // NT,),
-        in_specs=[nspec, vspec],
-        out_specs=vspec,
-        out_shape=jax.ShapeDtypeStruct((n, 1, B), _F32),
+        grid=(G,),
+        in_specs=[sp(n, n, NT), sp(n, 1, NT)],
+        out_specs=sp(n, 1, NT),
+        out_shape=jax.ShapeDtypeStruct((G, n, 1, NT), _F32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=INTERPRET,
-    )(Lc_T, v_T)
+    )(Lc_t, v_t)
 
 
 def _prec_apply_kernel(lc_ref, v_ref, o_ref, *, n):

@@ -232,11 +232,15 @@ def solve_normal_refined_ops(A32, b64, mul_G, n_refine=3):
     A32s = A32 * D32[:, None, :]
     n = A32.shape[2]
     m = A32.shape[1]
-    # Dead (padding) columns get a unit entry so the Householder diagonal
-    # stays positionally aligned; the injected coupling only perturbs the
-    # preconditioner (rate), never the refined solution.
-    rows_eye = (jnp.arange(m)[None, :, None] == jnp.arange(n)[None, None, :])
-    A32s = A32s + jnp.where(rows_eye & dead[:, None, :], 1.0, 0.0)
+    # Dead (padding) columns need a nonzero Householder diagonal to stay
+    # positionally aligned.  APPENDED identity rows (scaled by the dead
+    # mask) provide it without touching real rows — a unit injected into
+    # an existing row couples padding columns to real columns in A^T A
+    # and was measured to degrade the preconditioner enough to throw
+    # 10-70% of partially-filled buckets onto the exact-path fallback.
+    reg = jnp.eye(n, dtype=A32s.dtype)[None] * dead[:, None, :].astype(
+        A32s.dtype)
+    A32s = jnp.concatenate([A32s, reg], axis=1)
 
     R = qr_r_factor(A32s, n)
     p = _next_pow2(n)
