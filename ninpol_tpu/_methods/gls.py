@@ -117,7 +117,16 @@ def _gls_bucket_kernel(
     T1 = xv[:, None, :] - fc                                    # (B,F,3)
     T2 = jnp.cross(Nf, T1)
     T2n = jnp.sqrt(jnp.sum(T2 * T2, axis=2))
-    tau = jnp.where(interior, T2n, 1.0) ** (-eta)
+    tau_base = jnp.where(interior, jnp.maximum(T2n, 1e-30), 1.0)
+    if jax.default_backend() == "tpu":
+        # float64 pow is an emulated transcendental (~9 ms per 8k-node
+        # chunk); df32 pow (ops/df32.powd, ~2e-13 relative) runs as
+        # plain f32 vector ops.  tau feeds the LS rows at a sensitivity
+        # well inside the 1e-10 parity budget.
+        tau = df32.to_f64(df32.powd(df32.from_f64(tau_base),
+                                    df32.from_f64(-eta)))
+    else:
+        tau = tau_base ** (-eta)
 
     imask = interior[:, :, None].astype(f64)
     nL1m = nL1g[SF] * imask
@@ -333,6 +342,7 @@ def _gls_bucket_kernel(
                              _nLb_or_zero)
 
     # ---- solve -----------------------------------------------------------
+    w_direct = False
     if exact:
         A = assemble(f64)
         # The Householder last-row formula requires the diagonal to stay
@@ -377,19 +387,18 @@ def _gls_bucket_kernel(
         # columns get a decoupled unit diagonal — their equilibrated
         # columns are exactly zero, so no coupling to real columns.
         on_tpu = jax.default_backend() == "tpu"
+        w_direct = False
         if on_tpu:
-            # "VPU layout" end to end: assemble A in the TILED transposed
-            # layout (G, m, n, NT) — G node tiles of NT=128 on the lane
-            # axis — via cheap XLA elementwise ops in a COLUMN-PERMUTED
-            # basis [x | y | z | const], then ONE Pallas pass builds the
-            # whole shifted-CholQR2 preconditioner in VMEM (see
-            # ops/pallas_chol.cholqr2_precond for why this exact layout).
-            from ..ops.pallas_chol import NT as _NT
+            # ONE fused Pallas pass per node tile: assembly, shifted
+            # CholQR2, df32 refinement sweeps, and weight extraction all
+            # stay in VMEM in the TILED (G, ., ., NT) layout (see
+            # ops/pallas_chol.gls_solve_fused).
+            from ..ops.pallas_chol import NT as _NT, gls_solve_fused
             Gt = B // _NT
             i32 = lambda a: a.astype(jnp.int32)
 
             def tile(x):
-                """(B, K, 3) f64 piece -> (G, K, 3, NT) f32."""
+                """(B, K, 3) -> (G, K, 3, NT) f32."""
                 K = x.shape[1]
                 return jnp.transpose(
                     x.astype(f32).reshape(Gt, _NT, K, 3), (0, 2, 3, 1))
@@ -399,62 +408,32 @@ def _gls_bucket_kernel(
                 K = x.shape[1]
                 return jnp.transpose(x.reshape(Gt, _NT, K), (0, 2, 1))
 
-            dKvT = tile(dKv)
-            nL1T, nL2T = tile(nL1m), tile(nL2m)
-            T1T, tauT = tile(T1m), tile(tauT2m)
-            iotaE = jnp.arange(E, dtype=jnp.int32)
-            Ij1T = tile2(i32(Ij1))                     # (G, F, NT)
-            Ij2T = tile2(i32(Ij2))
-            S1T = (iotaE[None, None, :, None]
-                   == Ij1T[:, :, None, :]).astype(f32)  # (G, F, E, NT)
-            S2T = (iotaE[None, None, :, None]
-                   == Ij2T[:, :, None, :]).astype(f32)
-            dST = S2T - S1T
-            eyeE = jnp.eye(E, dtype=f32)
-            colblocks = []
-            for c in range(3):
-                cell = eyeE[None, :, :, None] * dKvT[:, None, :, c, :]
-                r1 = (S2T * nL2T[:, :, c, :][:, :, None, :]
-                      - S1T * nL1T[:, :, c, :][:, :, None, :])
-                r2 = dST * T1T[:, :, c, :][:, :, None, :]
-                r3 = dST * tauT[:, :, c, :][:, :, None, :]
-                blocks = [cell, r1, r2, r3]
-                if with_neumann:
-                    SbT = (iotaE[None, None, :, None]
-                           == tile2(i32(Ikb))[:, :, None, :]).astype(f32)
-                    nLbT = tile(_nLb_or_zero)
-                    blocks.append(-SbT * nLbT[:, :, c, :][:, :, None, :])
-                colblocks.append(jnp.concatenate(blocks, axis=1))
-            m_rows = colblocks[0].shape[1]
-            const = jnp.concatenate(
-                [tile2(cvf.astype(f32))[:, :, None, :],
-                 jnp.zeros((Gt, m_rows - E, 1, _NT), f32)], axis=1)
-            A_t = jnp.concatenate(colblocks + [const], axis=2)
+            zF = jnp.zeros((B, F), f64)
+            nm_h, nm_l = nmean_s if with_neumann else (zF, zF)
+            ikb_t = (tile2(i32(Ikb)) if with_neumann
+                     else jnp.zeros((Gt, F, _NT), jnp.int32))
+            wh, wl, wnh, wnl, rnt = gls_solve_fused(
+                tile(dKv_s[0]), tile(dKv_s[1]),
+                tile(nL1_s[0]), tile(nL1_s[1]),
+                tile(nL2_s[0]), tile(nL2_s[1]),
+                tile(T1_s[0]), tile(T1_s[1]),
+                tile(tau_s[0]), tile(tau_s[1]),
+                tile(nLb_s[0]), tile(nLb_s[1]),
+                tile2(i32(Ij1)), tile2(i32(Ij2)), ikb_t,
+                tile2(cvf.astype(f32)),
+                tile2(active.astype(f32)[:, None]),
+                tile2(nm_h.astype(f32)), tile2(nm_l.astype(f32)),
+                with_neumann, sweeps=max(n_refine + 1, 2))
 
-            Lc_t, Dp_t, dmaxr = cholqr2_precond(A_t)
-            # (G, n, 1, NT) -> (B, n)
-            D32 = jnp.transpose(Dp_t[:, :, 0, :], (0, 2, 1)).reshape(B, n)
-            dmax = dmaxr.reshape(B)
+            def untile(x):
+                """(G, K, NT) -> (B, K)."""
+                return jnp.transpose(x, (0, 2, 1)).reshape(B, -1)
 
-            def to_perm(r):
-                g = jnp.swapaxes(r[:, :3 * E].reshape(B, E, 3), 1, 2)
-                return jnp.concatenate([g.reshape(B, 3 * E),
-                                        r[:, 3 * E:]], axis=1)
-
-            def from_perm(r):
-                g = jnp.swapaxes(r[:, :3 * E].reshape(B, 3, E), 1, 2)
-                return jnp.concatenate([g.reshape(B, 3 * E),
-                                        r[:, 3 * E:]], axis=1)
-
-            D = D32.astype(f64)
-
-            def M(r64):
-                v = (to_perm(r64) * D).astype(f32)
-                vt = jnp.transpose(v.reshape(Gt, _NT, n),
-                                   (0, 2, 1))[:, :, None, :]
-                ot = prec_apply_T(Lc_t, vt)
-                o = jnp.transpose(ot[:, :, 0, :], (0, 2, 1)).reshape(B, n)
-                return from_perm(o.astype(f64) * D)
+            w = (untile(wh).astype(f64) + untile(wl).astype(f64))
+            w_neu_correct = (untile(wnh).astype(f64)
+                             + untile(wnl).astype(f64))[:, 0]
+            rnorm = untile(rnt).astype(f64)[:, 0]
+            w_direct = True
         else:
             Ah = assemble_from(f32, dKv_s[0], cvf, nL1_s[0], nL2_s[0],
                                T1_s[0], tau_s[0], nLb_s[0])
@@ -483,18 +462,18 @@ def _gls_bucket_kernel(
                 v = (r64 * D).astype(f32)
                 v = prec_apply_f32(Lc, v)
                 return v.astype(f64) * D
-        sick = dmax > f32(3e4)
-
-        b = jnp.zeros((B, n), f64).at[:, n - 1].set(1.0)
-        y = M(b)
-        dy = y
-        for _ in range(max(n_refine + 1, 2)):
-            r = b - mul_G_df32(y)
-            dy = M(r)
-            y = y + dy
-        rnorm = jnp.sqrt(jnp.sum(dy * dy, axis=1)) / jnp.maximum(
-            jnp.linalg.norm(y, axis=1), 1e-300)
-        rnorm = jnp.where(sick, jnp.ones_like(rnorm), rnorm)
+        if not w_direct:
+            sick = dmax > f32(3e4)
+            b = jnp.zeros((B, n), f64).at[:, n - 1].set(1.0)
+            y = M(b)
+            dy = y
+            for _ in range(max(n_refine + 1, 2)):
+                r = b - mul_G_df32(y)
+                dy = M(r)
+                y = y + dy
+            rnorm = jnp.sqrt(jnp.sum(dy * dy, axis=1)) / jnp.maximum(
+                jnp.linalg.norm(y, axis=1), 1e-300)
+            rnorm = jnp.where(sick, jnp.ones_like(rnorm), rnorm)
     elif solver == "pallas":
         # df32 (double-float32) QR + semi-normal solve in Pallas VMEM
         # kernels + ONE float64 structured correction (CSNE): reaches
@@ -548,7 +527,7 @@ def _gls_bucket_kernel(
         y, rnorm = solve_normal_refined_ops(A32, b, mul_G,
                                             n_refine=n_refine)
 
-    if not exact:
+    if not exact and not w_direct:
         # weights_j = (cell row j) . y — exactly mul_A(y)'s cell block;
         # true neumann weight = sum_f nmean * (neumann row f . y)
         if need_df:

@@ -145,6 +145,90 @@ def sqrt(x):
     return fast_two_sum(s, lo)
 
 
+import math as _math
+import numpy as _np
+
+
+def _const_pair(v):
+    hi = _np.float32(v)
+    return float(hi), float(_np.float32(v - float(hi)))
+
+
+_LN2 = _const_pair(_math.log(2.0))
+_INV_LN2 = _const_pair(1.0 / _math.log(2.0))
+_SQRT_HALF = 0.70710678
+
+
+def _cpair(like, v):
+    hi, lo = _const_pair(v)
+    return (jnp.full_like(like, hi), jnp.full_like(like, lo))
+
+
+def log2(x):
+    """df32 log2 of a positive df32 pair, ~2^-42 relative.
+
+    Range-reduce the hi mantissa to [sqrt(1/2), sqrt(2)), then the
+    atanh series  log(m) = 2 atanh(t), t = (m-1)/(m+1), |t| < 0.172
+    (9 odd terms reach ~2^-46), all in df32.
+    """
+    xh, xl = x
+    mant, ex = jnp.frexp(xh)                      # mant in [0.5, 1)
+    up = mant < _SQRT_HALF
+    mant = jnp.where(up, mant * 2, mant)
+    ex = (ex - up.astype(ex.dtype)).astype(xh.dtype)
+    # carry the lo part into the mantissa: x = mant*2^e * (1 + xl/xh)
+    r = xl / xh
+    m = fast_two_sum(mant, mant * r)              # df32 mantissa
+    num = add(m, (jnp.float32(-1.0), jnp.float32(0.0)))
+    den = add(m, (jnp.float32(1.0), jnp.float32(0.0)))
+    t = div(num, den)
+    t2 = mul(t, t)
+    # sum_{k odd} t^k/k  via Horner in t^2 (coefficients as hi/lo pairs)
+    acc = _cpair(xh, 1.0 / 19.0)
+    for k in (17, 15, 13, 11, 9, 7, 5, 3, 1):
+        acc = add(mul(acc, t2), _cpair(xh, 1.0 / k))
+    atanh = mul(t, acc)
+    # log2(m) = 2*atanh / ln2
+    lg_m = mul(scale(atanh, jnp.float32(2.0)),
+               _cpair(xh, 1.0 / _math.log(2.0)))
+    return add((ex, jnp.zeros_like(ex)), lg_m)
+
+
+def exp2(x):
+    """df32 2**x for |x| < ~120, ~2^-42 relative.
+
+    Split x = k + f with integer k and |f| <= 0.5; 2^k is exact
+    (jnp.exp2 on an integer-valued float), 2^f = exp(f ln2) by a
+    15-term df32 Taylor series.
+    """
+    xh, xl = x
+    k = jnp.round(xh)
+    f = two_sum(xh - k, xl)      # NOT fast_two_sum: xl can exceed xh-k
+    u = mul(f, _cpair(xh, _math.log(2.0)))         # |u| <= 0.347
+    acc = _cpair(xh, 1.0 / _math.factorial(15))
+    for k_ in (14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1):
+        acc = add(mul(acc, u), _cpair(xh, 1.0 / _math.factorial(k_)))
+    acc = mul(acc, u)
+    acc = add(acc, (jnp.ones_like(xh), jnp.zeros_like(xh)))
+    # 2^k EXACTLY via exponent-field construction (jnp.exp2 is an
+    # approximation and is off by an ulp at some integers)
+    import jax.lax as lax
+    ki = k.astype(jnp.int32)
+    p2k = lax.bitcast_convert_type(
+        ((ki + 127) << 23).astype(jnp.int32), jnp.float32)
+    return scale(acc, p2k)
+
+
+def powd(x, y):
+    """df32 x**y for positive df32 x:  2^(y * log2 x), ~2^-41.
+
+    Replaces float64 pow on TPU, where the emulated transcendental costs
+    ~30 ns/element (9 ms per 8k-node GLS chunk just for the tau
+    weights); this runs as ~60 plain f32 vector ops.
+    """
+    return exp2(mul(y, log2(x)))
+
+
 def dot3(x, y, axis=-1):
     """df32 dot over a SMALL axis (e.g. the 3 spatial components):
     products via two_prod, sequential df32 accumulation (exact order)."""

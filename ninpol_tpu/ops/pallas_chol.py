@@ -123,6 +123,248 @@ def round2_gram_f32(A, Li):
 
 
 # ---------------------------------------------------------------------------
+# Fully fused GLS solve: assembly + shifted CholQR2 + df32 refinement
+# sweeps + weight extraction, one VMEM-resident pass per node tile
+# ---------------------------------------------------------------------------
+def _solve_kernel(dkh, dkl, l1h, l1l, l2h, l2l, t1h, t1l, tth, ttl,
+                  lbh, lbl, ij1, ij2, ikb, cv, af, nmh, nml,
+                  wh_ref, wl_ref, wnh_ref, wnl_ref, rn_ref,
+                  a_scr, g_scr, li_scr,
+                  *, E, F, n, m, sweeps, with_neumann, tiny, shift):
+    from . import df32 as dd
+
+    iota_e = jax.lax.broadcasted_iota(jnp.int32, (F, E, NT), 1)
+    S1 = (iota_e == ij1[0][:, None, :]).astype(_F32)
+    S2 = (iota_e == ij2[0][:, None, :]).astype(_F32)
+    Sb = ((iota_e == ikb[0][:, None, :]).astype(_F32)
+          if with_neumann else None)
+    dS = S2 - S1
+    cv0 = cv[0]                                      # (E, NT)
+    af0 = af[0]                                      # (1, NT)
+    msk = cv0 * af0                                  # (E, NT)
+
+    # ---- assemble A (hi parts) in VMEM, permuted basis [x|y|z|const]
+    a_scr[:] = jnp.zeros((m, n, NT), _F32)
+    eyeE = (jax.lax.broadcasted_iota(jnp.int32, (E, E), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (E, E), 1)).astype(_F32)
+    for c in range(3):
+        a_scr[0:E, c * E:(c + 1) * E, :] = (
+            eyeE[:, :, None] * dkh[0][:, c, :][None, :, :])
+        a_scr[E:E + F, c * E:(c + 1) * E, :] = (
+            S2 * l2h[0][:, c, :][:, None, :]
+            - S1 * l1h[0][:, c, :][:, None, :])
+        a_scr[E + F:E + 2 * F, c * E:(c + 1) * E, :] = (
+            dS * t1h[0][:, c, :][:, None, :])
+        a_scr[E + 2 * F:E + 3 * F, c * E:(c + 1) * E, :] = (
+            dS * tth[0][:, c, :][:, None, :])
+        if with_neumann:
+            a_scr[E + 3 * F:E + 4 * F, c * E:(c + 1) * E, :] = (
+                -Sb * lbh[0][:, c, :][:, None, :])
+    a_scr[0:E, 3 * E:3 * E + 1, :] = cv0[:, None, :]
+
+    # ---- shifted CholQR2 preconditioner (see _precond_kernel)
+    a = a_scr[:]
+    d2 = jnp.sum(a * a, axis=0)
+    deadm = (d2 == 0).astype(_F32)
+    D = jax.lax.rsqrt(jnp.where(d2 == 0, _F32(1), d2)) * (1 - deadm)
+    a = a * D[None, :, :]
+    eyen = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+            ).astype(_F32)[:, :, None]
+    g_scr[:] = _gram_T(a, n) + eyen * (deadm + _F32(shift))[None, :, :]
+    _chol_inplace(g_scr, li_scr, n, tiny)
+    li1 = li_scr[:]
+    q_cols = []
+    for i in range(n):
+        q_cols.append(jnp.sum(a * li1[i][None, :, :], axis=1))
+    q = jnp.stack(q_cols, axis=1)
+    g_scr[:] = _gram_T(q, n) + eyen * deadm[None, :, :]
+    dmax = jnp.zeros((NT,), _F32)
+    for k in range(n):
+        dk2 = g_scr[k, k, :][None]
+        dinv2 = jax.lax.rsqrt(jnp.maximum(dk2, _F32(tiny)))
+        if k + 1 < n:
+            colb = g_scr[k + 1:, k, :] * dinv2
+            g_scr[k + 1:, k, :] = colb
+            g_scr[k + 1:, k + 1:, :] = (g_scr[k + 1:, k + 1:, :]
+                                        - colb[:, None, :]
+                                        * colb[None, :, :])
+        base = li1[k]
+        if k == 0:
+            li_scr[0, :, :] = base * dinv2
+        else:
+            lrow = g_scr[k, :k, :]
+            s = jnp.sum(lrow[:, None, :] * li_scr[:k, :, :], axis=0)
+            li_scr[k, :, :] = (base - s) * dinv2
+        dmax = jnp.maximum(dmax, jnp.abs(li_scr[k, k, :]))
+    lc = li_scr[:]
+
+    def Mapply(rh, rl):
+        v = (rh + rl) * D
+        w1 = jnp.sum(lc * v[None, :, :], axis=1)
+        w2 = jnp.sum(lc * w1[:, None, :], axis=0)
+        return w2 * D, jnp.zeros((n, NT), _F32)
+
+    # ---- df32 structured operator (permuted basis: component blocks
+    # are static slices)
+    def yblk(yh, yl, c):
+        return yh[c * E:(c + 1) * E], yl[c * E:(c + 1) * E]
+
+    def pc(ph, pl, c):
+        return ph[0][:, c, :], pl[0][:, c, :]
+
+    def mul_A(yh, yl):
+        tc = None
+        for c in range(3):
+            p = dd.mul(pc(dkh, dkl, c), yblk(yh, yl, c))
+            tc = p if tc is None else dd.add(tc, p)
+        ycn = (jnp.broadcast_to(yh[3 * E:3 * E + 1], (E, NT)),
+               jnp.broadcast_to(yl[3 * E:3 * E + 1], (E, NT)))
+        tc = dd.add(tc, ycn)
+        tc = (tc[0] * msk, tc[1] * msk)
+        g1 = [(jnp.sum(S1 * yblk(yh, yl, c)[0][None, :, :], axis=1),
+               jnp.sum(S1 * yblk(yh, yl, c)[1][None, :, :], axis=1))
+              for c in range(3)]                        # exact one-hots
+        g2 = [(jnp.sum(S2 * yblk(yh, yl, c)[0][None, :, :], axis=1),
+               jnp.sum(S2 * yblk(yh, yl, c)[1][None, :, :], axis=1))
+              for c in range(3)]
+        r1 = r2 = r3 = None
+        for c in range(3):
+            p1 = dd.add(dd.mul(pc(l2h, l2l, c), g2[c]),
+                        dd.neg(dd.mul(pc(l1h, l1l, c), g1[c])))
+            ddc = dd.add(g2[c], dd.neg(g1[c]))
+            p2 = dd.mul(pc(t1h, t1l, c), ddc)
+            p3 = dd.mul(pc(tth, ttl, c), ddc)
+            r1 = p1 if r1 is None else dd.add(r1, p1)
+            r2 = p2 if r2 is None else dd.add(r2, p2)
+            r3 = p3 if r3 is None else dd.add(r3, p3)
+        r1 = (r1[0] * af0, r1[1] * af0)
+        r2 = (r2[0] * af0, r2[1] * af0)
+        r3 = (r3[0] * af0, r3[1] * af0)
+        tn = None
+        if with_neumann:
+            for c in range(3):
+                go = (jnp.sum(Sb * yblk(yh, yl, c)[0][None, :, :], axis=1),
+                      jnp.sum(Sb * yblk(yh, yl, c)[1][None, :, :], axis=1))
+                p = dd.mul(pc(lbh, lbl, c), go)
+                tn = p if tn is None else dd.add(tn, p)
+            tn = dd.neg(tn)
+            tn = (tn[0] * af0, tn[1] * af0)
+        return tc, r1, r2, r3, tn
+
+    def scatter(S, p):
+        ph = S * p[0][:, None, :]
+        pl_ = S * p[1][:, None, :]
+        return dd.tree_sum((ph, pl_), axis=0)           # (E, NT)
+
+    def mul_G(yh, yl):
+        tc, r1, r2, r3, tn = mul_A(yh, yl)
+        blocks_h, blocks_l = [], []
+        for c in range(3):
+            out = dd.mul(pc(dkh, dkl, c), tc)
+            c1 = dd.neg(dd.add(dd.add(dd.mul(pc(l1h, l1l, c), r1),
+                                      dd.mul(pc(t1h, t1l, c), r2)),
+                               dd.mul(pc(tth, ttl, c), r3)))
+            c2 = dd.add(dd.add(dd.mul(pc(l2h, l2l, c), r1),
+                               dd.mul(pc(t1h, t1l, c), r2)),
+                        dd.mul(pc(tth, ttl, c), r3))
+            out = dd.add(out, scatter(S1, c1))
+            out = dd.add(out, scatter(S2, c2))
+            if with_neumann:
+                cb = dd.neg(dd.mul(pc(lbh, lbl, c), tn))
+                out = dd.add(out, scatter(Sb, cb))
+            blocks_h.append(out[0])
+            blocks_l.append(out[1])
+        oc = dd.tree_sum(tc, axis=0)                    # (NT,)
+        gh = jnp.concatenate(blocks_h + [oc[0][None, :]], axis=0)
+        gl = jnp.concatenate(blocks_l + [oc[1][None, :]], axis=0)
+        return gh, gl
+
+    # ---- solve: y0 = M b, then df32 residual sweeps
+    bh = (jax.lax.broadcasted_iota(jnp.int32, (n, NT), 0)
+          == (n - 1)).astype(_F32)
+    yh, yl = Mapply(bh, jnp.zeros_like(bh))
+    dyh = yh
+    for _ in range(sweeps):
+        gh, gl = mul_G(yh, yl)
+        rh, rl = dd.add((bh, jnp.zeros_like(bh)), (-gh, -gl))
+        dyh, dyl = Mapply(rh, rl)
+        yh, yl = dd.add((yh, yl), (dyh, dyl))
+
+    dy2 = jnp.sum(dyh * dyh, axis=0)
+    y2 = jnp.sum(yh * yh, axis=0)
+    rn = jnp.sqrt(dy2) * jax.lax.rsqrt(jnp.maximum(y2, _F32(1e-30)))
+    rn = jnp.where(dmax > _F32(3e4), _F32(1.0), rn)
+    rn_ref[0] = rn[None, :]
+
+    # ---- weights = cell block of mul_A(y); wn = sum nmean * tn
+    tc, _, _, _, tn = mul_A(yh, yl)
+    wh_ref[0] = tc[0]
+    wl_ref[0] = tc[1]
+    if with_neumann:
+        p = dd.mul((nmh[0], nml[0]), tn)
+        s = dd.tree_sum(p, axis=0)
+        wnh_ref[0] = s[0][None, :]
+        wnl_ref[0] = s[1][None, :]
+    else:
+        wnh_ref[0] = jnp.zeros((1, NT), _F32)
+        wnl_ref[0] = jnp.zeros((1, NT), _F32)
+
+
+def gls_solve_fused(dKv_h, dKv_l, nL1_h, nL1_l, nL2_h, nL2_l,
+                    T1_h, T1_l, tau_h, tau_l, nLb_h, nLb_l,
+                    Ij1, Ij2, Ikb, cv, af, nmean_h, nmean_l,
+                    with_neumann, sweeps=3, tiny=1e-12, shift=1.5e-5):
+    """The whole GLS mixed-precision solve as ONE Pallas pass per tile.
+
+    Inputs are tiled (G, ., ., NT) hi/lo float32 pairs of the per-node
+    pieces (see methods/gls.py).  Per tile, entirely in VMEM: assemble A
+    (hi), build the shifted-CholQR2 preconditioner, then run
+    ``sweeps`` df32 structured-residual refinement sweeps and extract
+    the weights — replacing the per-node LAPACK dgels of the reference
+    (gls.pyx:420-474) and the XLA-level assembly/apply/sweep glue that
+    previously dominated the chunk time.
+
+    Returns (w_h, w_l (G,E,NT), wn_h, wn_l (G,1,NT), rnorm (G,1,NT)).
+    """
+    G, E, _, _ = dKv_h.shape
+    F = nL1_h.shape[1]
+    n = 3 * E + 1
+    m = E + (4 if with_neumann else 3) * F
+    kern = functools.partial(_solve_kernel, E=E, F=F, n=n, m=m,
+                             sweeps=sweeps, with_neumann=with_neumann,
+                             tiny=tiny, shift=shift)
+    sp = lambda *dims: pl.BlockSpec(
+        (1,) + dims, lambda i: (i,) + (i * 0,) * len(dims),
+        memory_space=pltpu.VMEM)
+    p3 = sp(F, 3, NT)
+    return pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=[sp(E, 3, NT), sp(E, 3, NT), p3, p3, p3, p3, p3, p3,
+                  p3, p3, p3, p3, sp(F, NT), sp(F, NT), sp(F, NT),
+                  sp(E, NT), sp(1, NT), sp(F, NT), sp(F, NT)],
+        out_specs=[sp(E, NT), sp(E, NT), sp(1, NT), sp(1, NT),
+                   sp(1, NT)],
+        out_shape=[jax.ShapeDtypeStruct((G, E, NT), _F32),
+                   jax.ShapeDtypeStruct((G, E, NT), _F32),
+                   jax.ShapeDtypeStruct((G, 1, NT), _F32),
+                   jax.ShapeDtypeStruct((G, 1, NT), _F32),
+                   jax.ShapeDtypeStruct((G, 1, NT), _F32)],
+        scratch_shapes=[pltpu.VMEM((m, n, NT), _F32),
+                        pltpu.VMEM((n, n, NT), _F32),
+                        pltpu.VMEM((n, n, NT), _F32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=INTERPRET,
+    )(dKv_h, dKv_l, nL1_h, nL1_l, nL2_h, nL2_l, T1_h, T1_l,
+      tau_h, tau_l, nLb_h, nLb_l, Ij1, Ij2, Ikb, cv, af,
+      nmean_h, nmean_l)
+
+
+# ---------------------------------------------------------------------------
 # Single-pass CholQR2 preconditioner build, "VPU layout" end to end
 # ---------------------------------------------------------------------------
 def _gram_T(a, n):
