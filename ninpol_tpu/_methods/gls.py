@@ -121,10 +121,12 @@ def _gls_bucket_kernel(
     if jax.default_backend() == "tpu":
         # float64 pow is an emulated transcendental (~9 ms per 8k-node
         # chunk); df32 pow (ops/df32.powd, ~2e-13 relative) runs as
-        # plain f32 vector ops.  tau feeds the LS rows at a sensitivity
-        # well inside the 1e-10 parity budget.
-        tau = df32.to_f64(df32.powd(df32.from_f64(tau_base),
-                                    df32.from_f64(-eta)))
+        # plain f32 vector ops.  RAVELED: (B, F) arrays tile at F/128
+        # lane utilization, 1-D at ~100%.  tau feeds the LS rows at a
+        # sensitivity well inside the 1e-10 parity budget.
+        tau = df32.to_f64(df32.powd(
+            df32.from_f64(tau_base.ravel()),
+            df32.from_f64(-eta.ravel()))).reshape(B, F)
     else:
         tau = tau_base ** (-eta)
 
@@ -609,10 +611,13 @@ class GLSInterpolation:
         # exact float64 Householder path (rare: needs cond(A) > ~4e3
         # after equilibration).
         self.fallback_tol = 1e-11
-        # Working-set budget per kernel launch (B*m*n matrix elements);
-        # float64 emulation on TPU inflates bytes/element heavily, so this
-        # is tuned to keep peak HBM below ~8GB for the largest buckets.
-        self.chunk_elems = int(1.45e8)
+        # Working-set budget per kernel launch (B*m*n matrix elements).
+        # The fused cholqr path holds only f32 tiles (A_t ~ 4 bytes/elem),
+        # so 16k-node chunks fit easily and amortize the per-op dispatch
+        # overheads of the XLA prologue; the float64 exact path keeps the
+        # old tighter budget (emulation inflates bytes/element heavily).
+        self.chunk_elems = int(4.6e8)
+        self.chunk_elems_exact = int(1.45e8)
         # device-side caches (per grid+variable): face flux vectors and
         # point flags — re-uploading them every prepare() costs seconds
         # through this environment's ~50 MB/s host<->device relay.
@@ -672,11 +677,15 @@ class GLSInterpolation:
         # kernel variant with ~45% fewer matrix rows), so bucket the
         # Neumann-boundary nodes separately.
         is_neu_t = neumann_flag[target_points] != 0
+        chunk_elems = (self.chunk_elems_exact if self.exact
+                       else self.chunk_elems)
+        chunk_size = 8192 if self.exact else 16384
         all_buckets = []
         for mask, wneu in ((active & ~is_neu_t, False),
                            (active & is_neu_t, True)):
             for bucket in dgrid.buckets(target_points, mask,
-                                        chunk_elems=self.chunk_elems):
+                                        chunk_size=chunk_size,
+                                        chunk_elems=chunk_elems):
                 bucket["with_neumann"] = wneu
                 all_buckets.append(bucket)
 

@@ -62,20 +62,30 @@ class IDWInterpolation:
         active = ~(grid.boundary_points[target_points].astype(bool)
                    & (neumann_flag[target_points] == 0))
 
-        launched = [
-            (bucket, _idw_bucket_kernel(
+        ncols_out = weights.shape[1]
+        launched = []
+        for bucket in dgrid.buckets(target_points, active,
+                                    need_faces=False, chunk_size=131072):
+            w = _idw_bucket_kernel(
                 bucket["nodes"], bucket["valid"],
                 dgrid.esup2d, dgrid.esup_cnt,
                 dgrid.point_coords, dgrid.centroids,
-                E=bucket["E"], dim=grid.dim))
-            for bucket in dgrid.buckets(target_points, active,
-                                        need_faces=False, chunk_size=131072)
-        ]
+                E=bucket["E"], dim=grid.dim)
+            ncols = min(bucket["E"], ncols_out)
+            launched.append((bucket, jnp.pad(
+                w[:, :ncols], ((0, 0), (0, ncols_out - ncols)))))
+        if not launched:
+            return weights, neumann_ws
+        # one consolidated fetch (the host link has ~70 ms latency per
+        # transfer; see methods/gls.py)
+        host = np.asarray(jnp.concatenate([w for _, w in launched], axis=0)
+                          if len(launched) > 1 else launched[0][1])
+        lo = 0
         for bucket, w in launched:
-            w = np.asarray(w)
+            nb = w.shape[0]
             sel = bucket["valid"]
             pos = bucket["pos"][sel]
-            ncols = min(bucket["E"], weights.shape[1])
-            weights[pos, :ncols] = w[sel][:, :ncols]
+            weights[pos, :] = host[lo:lo + nb][sel]
+            lo += nb
         # IDW never writes neumann_ws (idw.pyx has no neumann output).
         return weights, neumann_ws

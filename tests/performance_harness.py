@@ -58,6 +58,8 @@ def run(families, levels, methods, repeats, case_name="ALH", seed=0):
                 interp.interpolate(case.name, m)  # warmup/compile
                 times = []
                 for _ in range(repeats):
+                    # honest repeats: defeat the prepared-weights cache
+                    interp._prep_cache = {}
                     t0 = time.perf_counter()
                     W, _ = interp.interpolate(case.name, m)
                     times.append(time.perf_counter() - t0)
@@ -67,6 +69,7 @@ def run(families, levels, methods, repeats, case_name="ALH", seed=0):
                 results[fam]["methods"][m]["error"].append(float(err))
                 print(f"    {m}: {min(times):.3f}s err={err:.3e}",
                       flush=True)
+        results[fam]["peak_rss_mb"] = round(peak_rss_mb(), 1)
     results["peak_rss_mb"] = round(peak_rss_mb(), 1)
     return results
 
