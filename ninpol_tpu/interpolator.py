@@ -407,10 +407,9 @@ class Interpolator:
         # is ADDED to every entry of the row (interpolator.pyx:618).
         ptr = self.grid.esup_ptr
         if full_target and self._csr_pattern is not None:
-            counts, rows, cols, mask = self._csr_pattern
+            counts, cols, mask = self._csr_pattern
         else:
             counts = np.diff(ptr)[target_points]
-            rows = np.repeat(np.arange(len(target_points)), counts)
             if full_target:
                 cols = self.grid.esup
             else:
@@ -418,13 +417,21 @@ class Interpolator:
                     self.grid.esup[ptr[p]:ptr[p + 1]]
                     for p in target_points
                 ]) if len(target_points) else np.zeros(0, dtype=DTYPE_I)
+            cols = cols.astype(np.int32, copy=False)
             mask = (np.arange(weights.shape[1])[None, :] < counts[:, None])
             if full_target:
-                self._csr_pattern = (counts, rows, cols, mask)
+                self._csr_pattern = (counts, cols, mask)
         data = weights[mask] + np.repeat(neumann_ws, counts)
 
+        # rows are sorted by construction (repeat of arange), so build
+        # the CSR directly from (data, indices, indptr) — skipping the
+        # COO->CSR sort saves ~1 s at 4M nnz.  cols must be a fresh copy:
+        # eliminate_zeros() compacts the indices array IN PLACE, which
+        # would corrupt the cached pattern for the next call.
+        indptr = np.zeros(len(target_points) + 1, dtype=np.int64)
+        np.cumsum(counts, out=indptr[1:])
         weights_sparse = sp.csr_matrix(
-            (data, (rows, cols)),
+            (data, cols.copy(), indptr),
             shape=(len(target_points), self.grid.n_elems))
         weights_sparse.eliminate_zeros()
         return weights_sparse, np.asarray(neumann_ws)

@@ -44,7 +44,8 @@ def _load():
         if (not os.path.exists(path)
                 or os.path.getmtime(path) < os.path.getmtime(_SRC)):
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                ["g++", "-O3", "-march=native", "-ffp-contract=off",
+                 "-shared", "-fPIC",
                  "-std=c++17", _SRC, "-o", path + ".tmp"],
                 check=True, capture_output=True)
             os.replace(path + ".tmp", path)

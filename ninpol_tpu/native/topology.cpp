@@ -1,5 +1,9 @@
 // Native mesh-topology engine.
 //
+// Built with -ffp-contract=off: the geometry kernels must be
+// bit-identical to the NumPy reference path, and FMA contraction of
+// the float32 cross products changes the rounding.
+//
 // C++ rebuild of the reference's Cython/C++ grid builder
 // (ninpol/_interpolator/grid.pyx:142-580, compiled with -O3 there), used
 // as the fast path for the one-time host-side topology construction; the

@@ -136,6 +136,40 @@ def test_vtk_data_roundtrip(tmp_path):
     assert f"neumann_flag_LIN" in m.point_data
 
 
+def test_repeated_interpolate_identical():
+    """Back-to-back interpolate() calls (fresh prepare each time) must
+    be identical — eliminate_zeros() compacts CSR indices in place, so
+    the cached column pattern must never be handed to it directly."""
+    case = LINCase()
+    case.assign_mesh_properties(meshgen.hexa_mesh(3), seed=0)
+    interp = Interpolator()
+    interp.load_mesh(mesh_obj=case.mesh)
+    W1, _ = interp.interpolate(case.name, "idw")
+    interp._prep_cache = {}
+    W2, _ = interp.interpolate(case.name, "idw")
+    assert (W1 != W2).nnz == 0
+    assert np.array_equal(W1.indices, W2.indices)
+
+
+def test_device_out_matches_host():
+    """prepare_interpolator(device_out=True) returns the consolidated
+    device array [weights | neumann] matching the host contract."""
+    case = LINCase()
+    case.assign_mesh_properties(meshgen.tetra_mesh(3), seed=0)
+    interp = Interpolator()
+    interp.load_mesh(mesh_obj=case.mesh)
+    tp = np.arange(interp.grid.n_points)
+    W, NW = interp.prepare_interpolator("gls", case.name, tp)
+    dev = interp.prepare_interpolator("gls", case.name, tp,
+                                      device_out=True)
+    dev = np.asarray(dev)
+    assert dev.shape == (len(tp), W.shape[1] + 1)
+    assert np.abs(dev[:, :W.shape[1]] - W).max() < 1e-12
+    assert np.abs(dev[:, W.shape[1]] - NW).max() < 1e-12
+    with pytest.raises(ValueError):
+        interp.prepare_interpolator("idw", case.name, tp, device_out=True)
+
+
 def test_load_face_data():
     case, interp = setup()
     grid = interp.grid

@@ -68,3 +68,31 @@ def test_meshgen_families_conforming(fam):
     coords = g.point_coords
     interior = ((coords > 1e-9) & (coords < 1 - 1e-9)).all(axis=1)
     assert not (interior & g.boundary_points.astype(bool)).any()
+
+
+def test_df32_pow_accuracy():
+    """df32 pow (used for the GLS tau weights on TPU) must stay within
+    ~1e-12 of float64 pow over the tau domain; includes integer-adjacent
+    exponent products (an exact-2^k regression: jnp.exp2 is off by an
+    ulp at some integers) and the exp2 split edge where |y - round(y)|
+    is tiny."""
+    import jax.numpy as jnp
+    from ninpol_tpu.ops import df32
+
+    rng = np.random.default_rng(3)
+    x = np.exp(rng.uniform(np.log(1e-6), np.log(10.0), 20000))
+    e = rng.uniform(0.0, 1.5, 20000)
+    # force some near-integer y = -e*log2(x) cases
+    x[:100] = 2.0 ** np.arange(1, 101) ** 0.5  # irrational-ish spread
+    ref = x ** (-e)
+    out = df32.to_f64(df32.powd(df32.from_f64(jnp.asarray(x)),
+                                df32.from_f64(jnp.asarray(-e))))
+    rel = np.abs(np.asarray(out) - ref) / ref
+    assert rel.max() < 1e-12, rel.max()
+
+    lg = np.asarray(df32.to_f64(df32.log2(df32.from_f64(jnp.asarray(x)))))
+    assert np.abs(lg - np.log2(x)).max() < 1e-12
+    p2 = np.asarray(df32.to_f64(df32.exp2(df32.from_f64(
+        jnp.asarray(np.array([0.0, 1.0, 26.0, -13.0, 25.99999999]))))))
+    assert np.array_equal(p2[:4], [1.0, 2.0, 2.0 ** 26, 2.0 ** -13])
+    assert abs(p2[4] - 2.0 ** 25.99999999) / 2.0 ** 26 < 1e-12
