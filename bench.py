@@ -139,11 +139,23 @@ def main():
           f"grid build {build_time:.2f}s", file=sys.stderr)
 
     tp = np.arange(n_points)
-    # warmup (compiles + device-grid upload)
+    # warmup (compiles + device-grid upload); report how much came from
+    # the persistent compile cache vs fresh compiles
+    cache_dir = os.environ.get("NINPOL_TPU_JAX_CACHE",
+                               "/tmp/ninpol_tpu_jax_cache")
+    def cache_entries():
+        try:
+            return len(os.listdir(cache_dir))
+        except OSError:
+            return 0
+    n_before = cache_entries()
     t0 = time.perf_counter()
     interp.prepare_interpolator("gls", "u", tp)
     warm = time.perf_counter() - t0
-    print(f"# warmup (incl. compile): {warm:.2f}s", file=sys.stderr)
+    n_new = cache_entries() - n_before
+    print(f"# warmup: {warm:.2f}s ({n_new} fresh compiles, "
+          f"{n_before} cached executables available"
+          f"{' — fully warm' if n_new == 0 else ''})", file=sys.stderr)
 
     # host-complete (the reference contract: weights in host memory)
     times = []
