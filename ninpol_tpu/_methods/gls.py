@@ -53,8 +53,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import df32, pallas_qr
-from ..ops.pallas_chol import (chol_linv_f32, cholqr2_precond, gram_f32,
-                               prec_apply_f32, prec_apply_T,
+from ..ops.pallas_chol import (chol_linv_f32, gram_f32, prec_apply_f32,
                                round2_gram_f32)
 from ..ops.solve import (householder_lastrow,
                          solve_normal_refined_ops)

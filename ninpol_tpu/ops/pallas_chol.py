@@ -1,32 +1,30 @@
-"""Pallas TPU kernels for the f32 CholQR2 preconditioner build.
+"""Pallas TPU kernels for the GLS mixed-precision solve.
 
-The GLS fast path (see methods/gls.py, solver="cholqr") needs, per node
-bucket, three dense batched products and two Cholesky factorizations of
-small (n x n) Gram matrices, n = 3E+1 ~ 40..80.  Measured on this chip:
+The production TPU path is ONE kernel, :func:`gls_solve_fused`: per
+128-node tile it assembles the per-node least-squares matrices from the
+geometric pieces, builds a shifted CholeskyQR2 preconditioner, runs the
+double-float32 structured-residual refinement sweeps, and emits the node
+weights — entirely in VMEM, in the "VPU layout" (nodes on the 128-lane
+axis, so every per-node scalar step is a full-width vector op).
 
-  * XLA's batched einsum "bmn,bmk->bnk" runs at ~2 Tflop/s (it cannot
-    keep the MXU busy on sub-128 matrices); a Pallas kernel issuing one
-    explicit per-node `dot` keeps the systolic array fed and the A-tile
-    read from HBM exactly once.
-  * XLA's recursive matmul-only Cholesky (ops/solve.py
-    chol_inverse_factor) costs ~56 ms per 8k-node chunk at n=128 — the
-    deep recursion of tiny batched matmuls is launch-bound.  Here the
-    factorization runs in the (n, n, NT) "VPU layout" (nodes on the
-    128-lane axis) so every per-node scalar step is a full-width vector
-    op, with the elimination step as a SEQUENTIAL GRID DIMENSION
-    (this environment's Mosaic build cannot legalize lax loops inside
-    kernels; constant-in-step output index maps carry the state).
+Hard-won facts this design encodes (measured on this chip):
+  * per-node MXU matmuls (batched einsum OR per-node Pallas `dot`) are
+    DMA/latency-bound at ~1.2 us/node on these sub-128 matrices — the
+    lane-parallel VPU layout wins despite costing more raw FLOPs;
+  * blocks must be TILED (G, ..., NT): an (n, n, NT) block of an
+    (n, n, B) array is ~5000 strided 512-byte DMA rows (~90 us of
+    descriptor overhead per grid step);
+  * statically unrolled python loops over pivots/columns beat
+    grid-dimension sequential steps ~2x (and Mosaic here cannot
+    legalize lax loops in kernels anyway);
+  * the Cholesky never reads the upper triangle, so the Gram pass
+    writes only the lower half (_gram_lower_into).
 
-Kernels:
-  * gram_f32(A)            (B, m, n) -> (B, n, n) = A^T A       [MXU]
-  * round2_gram_f32(A, Li) (B,m,n),(B,n,n) -> (B,n,n) =
-                           (A Li^T)^T (A Li^T)                  [MXU]
-  * chol_linv_f32(G)       (B, n, n) SPD -> Linv = L^{-1} with
-                           G = L L^T (clamped pivots)           [VPU]
-
-All kernels are float32-only: the CholQR2 preconditioner needs only f32
-accuracy (the df32 refinement sweeps restore dgels-level precision; see
-gls.py).  CPU fallbacks (same numerics class) live next to each kernel.
+Float32 suffices for the preconditioner because CholQR2's residual is
+~eps32*sqrt(m) independent of cond(A); the df32 sweeps restore
+dgels-level accuracy (see methods/gls.py).  The batched helpers below
+(gram_f32, round2_gram_f32, chol_linv_f32, prec_apply_f32) compose the
+same algorithm from LAPACK-backed pieces on CPU.
 
 Reference being replaced: per-node LAPACK dgels (gls.pyx:420-474).
 """
@@ -168,17 +166,14 @@ def _solve_kernel(dkh, dkl, l1h, l1l, l2h, l2l, t1h, t1l, tth, ttl,
     deadm = (d2 == 0).astype(_F32)
     D = jax.lax.rsqrt(jnp.where(d2 == 0, _F32(1), d2)) * (1 - deadm)
     a = a * D[None, :, :]
-    eyen = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-            ).astype(_F32)[:, :, None]
-    g_scr[:] = _gram_T(a, n) + eyen * (deadm + _F32(shift))[None, :, :]
+    _gram_lower_into(a, g_scr, n, deadm + _F32(shift))
     _chol_inplace(g_scr, li_scr, n, tiny)
     li1 = li_scr[:]
     q_cols = []
     for i in range(n):
         q_cols.append(jnp.sum(a * li1[i][None, :, :], axis=1))
     q = jnp.stack(q_cols, axis=1)
-    g_scr[:] = _gram_T(q, n) + eyen * deadm[None, :, :]
+    _gram_lower_into(q, g_scr, n, deadm)
     dmax = jnp.zeros((NT,), _F32)
     for k in range(n):
         dk2 = g_scr[k, k, :][None]
@@ -375,6 +370,17 @@ def _gram_T(a, n):
     return jnp.stack(cols, axis=1)                            # (n, n, NT)
 
 
+def _gram_lower_into(a, gscr, n, diag_vec):
+    """Write the LOWER triangle of A^T A (+ diag_vec on the diagonal)
+    into gscr.  The Cholesky below never reads the upper triangle, so
+    leaving stale scratch there is safe and saves half the Gram FMAs."""
+    for j in range(n):
+        col = jnp.sum(a[:, j:, :] * a[:, j:j + 1, :], axis=0)  # (n-j, NT)
+        first = (jax.lax.broadcasted_iota(jnp.int32, (n - j, NT), 0)
+                 == 0).astype(_F32)
+        gscr[j:, j, :] = col + first * diag_vec[j][None, :]
+
+
 def _chol_inplace(gscr, liscr, n, tiny, mul=None):
     """Unrolled Cholesky of gscr (n, n, NT) in place; liscr <- L^{-1}
     (or L^{-1} @ mul rows if mul given)."""
@@ -398,128 +404,6 @@ def _chol_inplace(gscr, liscr, n, tiny, mul=None):
             lrow = gscr[k, :k, :]
             s = jnp.sum(lrow[:, None, :] * liscr[:k, :, :], axis=0)
             liscr[k, :, :] = (base - s) * dinv
-
-
-def _precond_kernel(a_ref, lc_ref, d_ref, dmax_ref, g_scr, li_scr,
-                    *, m, n, tiny, shift):
-    # equilibrate columns (dead = all-zero padding columns)
-    a = a_ref[0]                                     # (m, n, NT)
-    d2 = jnp.sum(a * a, axis=0)                      # (n, NT)
-    dead = (d2 == 0).astype(_F32)
-    dinv = jax.lax.rsqrt(jnp.where(d2 == 0, _F32(1), d2)) * (1 - dead)
-    a = a * dinv[None, :, :]
-    d_ref[0] = dinv[:, None, :]
-    eyen = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-            ).astype(_F32)[:, :, None]
-
-    # round 1: G1 = As^T As (+shifted diag), Li1 = chol(G1)^-1
-    g_scr[:] = _gram_T(a, n) + eyen * (dead + _F32(shift))[None, :, :]
-    _chol_inplace(g_scr, li_scr, n, tiny)
-
-    # round 2: Q = As Li1^T, G2 = Q^T Q
-    li = li_scr[:]
-    q_cols = []
-    for i in range(n):
-        q_cols.append(jnp.sum(a * li[i][None, :, :], axis=1))  # (m, NT)
-    q = jnp.stack(q_cols, axis=1)                    # (m, n, NT)
-    g_scr[:] = _gram_T(q, n) + eyen * dead[None, :, :]
-    # Lc = L2^{-1} @ Li1 (fused): M r = Lc^T (Lc r).  diag(Lc) =
-    # diag(Li2) * diag(Li1), so one max over it detects a clamped or
-    # near-breakdown pivot in EITHER round.  li_scr is reused as the Lc
-    # accumulator (its Li1 rows are consumed in order as `mul`).
-    li1 = li_scr[:]
-    dmax = jnp.zeros((NT,), _F32)
-    # inline chol with mul = li1 rows, accumulating into lc list
-    for k in range(n):
-        d2 = g_scr[k, k, :][None]
-        d2c = jnp.maximum(d2, _F32(tiny))
-        dinv2 = jax.lax.rsqrt(d2c)
-        if k + 1 < n:
-            colb = g_scr[k + 1:, k, :] * dinv2
-            g_scr[k + 1:, k, :] = colb
-            g_scr[k + 1:, k + 1:, :] = (
-                g_scr[k + 1:, k + 1:, :]
-                - colb[:, None, :] * colb[None, :, :])
-        base = li1[k]
-        if k == 0:
-            li_scr[0, :, :] = base * dinv2
-        else:
-            lrow = g_scr[k, :k, :]
-            s = jnp.sum(lrow[:, None, :] * li_scr[:k, :, :], axis=0)
-            li_scr[k, :, :] = (base - s) * dinv2
-        dmax = jnp.maximum(dmax, jnp.abs(li_scr[k, k, :]))
-    lc_ref[0] = li_scr[:]
-    dmax_ref[0] = dmax[None]
-
-
-def cholqr2_precond(A_t, tiny=1e-12, shift=1.5e-5):
-    """One fused pass: column equilibration + shifted CholeskyQR2.
-
-    A_t: (G, m, n, NT) float32, G = B/NT node tiles — the assembled
-    per-node matrices with nodes on the 128-lane axis.  Every step
-    (Gram, Cholesky, Q = A R1^{-1}, second Gram, combined factor
-    Lc = L2^{-1} L1^{-1}) is a full-width VPU op and nothing leaves VMEM
-    in between.  The TILED 4D layout matters: a (n, n, NT) block of an
-    (n, n, B) array is ~5000 strided 512-byte DMA rows (~90 us of
-    descriptor overhead PER GRID STEP — measured to dominate every
-    small kernel); a (1, m, n, NT) block is one contiguous transfer.
-
-    Returns (Lc (G,n,n,NT), Dinv (G,n,1,NT), dmax (G,1,NT));
-    M r = D Lc^T Lc D r.  TPU only — the CPU path composes the same
-    algorithm from LAPACK-backed pieces in methods/gls.py.
-    """
-    G, m, n, _ = A_t.shape
-    kern = functools.partial(_precond_kernel, m=m, n=n, tiny=tiny,
-                             shift=shift)
-    sp = lambda *dims: pl.BlockSpec(
-        (1,) + dims, lambda i: (i,) + (i * 0,) * len(dims),
-        memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kern,
-        grid=(G,),
-        in_specs=[sp(m, n, NT)],
-        out_specs=[sp(n, n, NT), sp(n, 1, NT), sp(1, NT)],
-        out_shape=[jax.ShapeDtypeStruct((G, n, n, NT), _F32),
-                   jax.ShapeDtypeStruct((G, n, 1, NT), _F32),
-                   jax.ShapeDtypeStruct((G, 1, NT), _F32)],
-        scratch_shapes=[pltpu.VMEM((n, n, NT), _F32),
-                        pltpu.VMEM((n, n, NT), _F32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=_VMEM_LIMIT,
-        ),
-        interpret=INTERPRET,
-    )(A_t)
-
-
-def _prec_apply_T_kernel(lc_ref, v_ref, o_ref, *, n):
-    v = v_ref[0]                                     # (n, 1, NT)
-    lc = lc_ref[0]
-    w1 = jnp.sum(lc * jnp.swapaxes(v, 0, 1), axis=1)
-    w2 = jnp.sum(lc * w1[:, None, :], axis=0)
-    o_ref[0] = w2[:, None, :]
-
-
-def prec_apply_T(Lc_t, v_t):
-    """M-apply in the tiled layout: Lc_t (G,n,n,NT), v_t (G,n,1,NT) f32
-    -> (G,n,1,NT).  One contiguous DMA per tile (see cholqr2_precond)."""
-    G, n, _, _ = Lc_t.shape
-    sp = lambda *dims: pl.BlockSpec(
-        (1,) + dims, lambda i: (i,) + (i * 0,) * len(dims),
-        memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_prec_apply_T_kernel, n=n),
-        grid=(G,),
-        in_specs=[sp(n, n, NT), sp(n, 1, NT)],
-        out_specs=sp(n, 1, NT),
-        out_shape=jax.ShapeDtypeStruct((G, n, 1, NT), _F32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=_VMEM_LIMIT,
-        ),
-        interpret=INTERPRET,
-    )(Lc_t, v_t)
 
 
 def _prec_apply_kernel(lc_ref, v_ref, o_ref, *, n):
