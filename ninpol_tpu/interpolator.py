@@ -335,7 +335,11 @@ class Interpolator:
     # Introspection (reference: interpolator.pyx:511-547)
     # ------------------------------------------------------------------
     def get_dict(self):
+        from .defines import ELEMENT_SCHEMA
         return {
+            # element-type schema (the reference exposes its
+            # point_ordering.yaml here, interpolator.pyx:511-515)
+            "point_ordering": ELEMENT_SCHEMA,
             "variable_to_index": self.variable_to_index,
             "cells_data": np.asarray(self.cells_data),
             "cells_data_dimensions": np.asarray(self.cells_data_dimensions),

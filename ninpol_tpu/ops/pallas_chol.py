@@ -174,23 +174,12 @@ def _solve_kernel(dkh, dkl, l1h, l1l, l2h, l2l, t1h, t1l, tth, ttl,
         q_cols.append(jnp.sum(a * li1[i][None, :, :], axis=1))
     q = jnp.stack(q_cols, axis=1)
     _gram_lower_into(q, g_scr, n, deadm)
+    # Lc = L2^{-1} @ Li1 (fused via mul=li1): M r = Lc^T (Lc r).
+    # diag(Lc) = diag(Li2)*diag(Li1), so one max over it detects a
+    # clamped or near-breakdown pivot in EITHER round.
+    _chol_inplace(g_scr, li_scr, n, tiny, mul=li1)
     dmax = jnp.zeros((NT,), _F32)
     for k in range(n):
-        dk2 = g_scr[k, k, :][None]
-        dinv2 = jax.lax.rsqrt(jnp.maximum(dk2, _F32(tiny)))
-        if k + 1 < n:
-            colb = g_scr[k + 1:, k, :] * dinv2
-            g_scr[k + 1:, k, :] = colb
-            g_scr[k + 1:, k + 1:, :] = (g_scr[k + 1:, k + 1:, :]
-                                        - colb[:, None, :]
-                                        * colb[None, :, :])
-        base = li1[k]
-        if k == 0:
-            li_scr[0, :, :] = base * dinv2
-        else:
-            lrow = g_scr[k, :k, :]
-            s = jnp.sum(lrow[:, None, :] * li_scr[:k, :, :], axis=0)
-            li_scr[k, :, :] = (base - s) * dinv2
         dmax = jnp.maximum(dmax, jnp.abs(li_scr[k, k, :]))
     lc = li_scr[:]
 
@@ -383,27 +372,53 @@ def _gram_lower_into(a, gscr, n, diag_vec):
 
 def _chol_inplace(gscr, liscr, n, tiny, mul=None):
     """Unrolled Cholesky of gscr (n, n, NT) in place; liscr <- L^{-1}
-    (or L^{-1} @ mul rows if mul given)."""
-    for k in range(n):
-        d2 = gscr[k, k, :][None]
-        d2c = jnp.maximum(d2, _F32(tiny))
-        dinv = jax.lax.rsqrt(d2c)
-        if k + 1 < n:
-            colb = gscr[k + 1:, k, :] * dinv
-            gscr[k + 1:, k, :] = colb
-            gscr[k + 1:, k + 1:, :] = (gscr[k + 1:, k + 1:, :]
-                                       - colb[:, None, :] * colb[None, :, :])
+    (or L^{-1} @ mul rows if mul given).
+
+    RANK-2 pivot blocking: two pivots per iteration share ONE pass over
+    the trailing submatrix — the slice read+write of that block is the
+    dominant per-step cost, so this halves the factorization's VMEM
+    traffic."""
+    def ebase(k):
         if mul is None:
-            base = (jax.lax.broadcasted_iota(jnp.int32, (n, NT), 0)
+            return (jax.lax.broadcasted_iota(jnp.int32, (n, NT), 0)
                     == k).astype(_F32)
-        else:
-            base = mul[k, :, :]
+        return mul[k, :, :]
+
+    def li_row(k, dinv):
+        base = ebase(k)
         if k == 0:
             liscr[0, :, :] = base * dinv
         else:
             lrow = gscr[k, :k, :]
             s = jnp.sum(lrow[:, None, :] * liscr[:k, :, :], axis=0)
             liscr[k, :, :] = (base - s) * dinv
+
+    k = 0
+    while k < n:
+        if k + 1 < n:
+            g11 = gscr[k, k, :][None]
+            d1 = jax.lax.rsqrt(jnp.maximum(g11, _F32(tiny)))
+            l21 = gscr[k + 1, k, :][None] * d1
+            gscr[k + 1, k, :] = l21[0]
+            s22 = gscr[k + 1, k + 1, :][None] - l21 * l21
+            d2i = jax.lax.rsqrt(jnp.maximum(s22, _F32(tiny)))
+            if k + 2 < n:
+                c1 = gscr[k + 2:, k, :] * d1
+                c2 = (gscr[k + 2:, k + 1, :] - c1 * l21) * d2i
+                gscr[k + 2:, k, :] = c1
+                gscr[k + 2:, k + 1, :] = c2
+                gscr[k + 2:, k + 2:, :] = (
+                    gscr[k + 2:, k + 2:, :]
+                    - c1[:, None, :] * c1[None, :, :]
+                    - c2[:, None, :] * c2[None, :, :])
+            li_row(k, d1)
+            li_row(k + 1, d2i)
+            k += 2
+        else:
+            g11 = gscr[k, k, :][None]
+            d1 = jax.lax.rsqrt(jnp.maximum(g11, _F32(tiny)))
+            li_row(k, d1)
+            k += 1
 
 
 def _prec_apply_kernel(lc_ref, v_ref, o_ref, *, n):
