@@ -464,11 +464,24 @@ class Interpolator:
             if method != "gls":
                 raise ValueError("device_out is only supported for 'gls'")
             kwargs["device_out"] = True
-        out = self.supported_methods[method](
-            self.device_grid,
-            self.cells_data, self.points_data, self.faces_data,
-            self.variable_to_index, variable, target_points,
-            weights, neumann_ws, **kwargs)
+
+        def _run():
+            return self.supported_methods[method](
+                self.device_grid,
+                self.cells_data, self.points_data, self.faces_data,
+                self.variable_to_index, variable, target_points,
+                weights, neumann_ws, **kwargs)
+
+        trace_dir = os.environ.get("NINPOL_TPU_PROFILE", "")
+        if trace_dir:
+            # device-level tracing (the reference's analogue is its
+            # clock_gettime phase spans, grid.pyx:150-227): dump an XLA
+            # profile viewable in TensorBoard/xprof
+            import jax
+            with jax.profiler.trace(trace_dir):
+                out = _run()
+        else:
+            out = _run()
         self.logger.log(
             f"Interpolation done in {time.perf_counter() - t0:.2f} seconds",
             "INFO")
