@@ -172,12 +172,18 @@ def main():
     # device-complete: weights resident on the TPU (the natural product
     # for an on-device MPFA consumer); separates compute from this
     # environment's ~50 MB/s host<->device relay.
-    import jax
     dtimes = []
+    sync_s = []
     for _ in range(3):
         t0 = time.perf_counter()
         wdev = interp.prepare_interpolator("gls", "u", tp, device_out=True)
-        wdev.block_until_ready()
+        # block_until_ready returns BEFORE compute through this
+        # environment's tunnel (CLAUDE.md); a dependent 1-element fetch
+        # is the only reliable device-complete sync.  Its cost (~70 ms
+        # relay latency) is measured and reported separately.
+        ts = time.perf_counter()
+        _ = np.asarray(wdev[-1:, -1:])
+        sync_s.append(time.perf_counter() - ts)
         dtimes.append(time.perf_counter() - t0)
     t_dev = min(dtimes)
     dev_mnodes = n_points / t_dev / 1e6
@@ -187,7 +193,8 @@ def main():
     mb = host_copy.nbytes / 1e6
     print(f"# GLS weights (device-complete): {t_dev:.3f}s -> "
           f"{dev_mnodes:.3f} Mnodes/s (runs: "
-          f"{[round(t, 3) for t in dtimes]})", file=sys.stderr)
+          f"{[round(t, 3) for t in dtimes]}; dependent-fetch sync "
+          f"{[round(t, 3) for t in sync_s]})", file=sys.stderr)
     print(f"# device->host delivery: {mb:.0f} MB in {t_fetch:.3f}s "
           f"({mb / max(t_fetch, 1e-9):.0f} MB/s relay)", file=sys.stderr)
     _partial.update(device_mnodes_s=round(dev_mnodes, 4),

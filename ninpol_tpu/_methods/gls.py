@@ -620,6 +620,11 @@ class GLSInterpolation:
         # device-side caches (per grid+variable): face flux vectors and
         # point flags — re-uploading them every prepare() costs seconds
         # through this environment's ~50 MB/s host<->device relay.
+        # Keyed by the Interpolator's monotonic _data_version stamp
+        # (set on us as _data_token before each dispatch): id()-based
+        # keys are unsafe because CPython reuses object addresses after
+        # GC, which could silently serve stale flux vectors.
+        self._data_token = None
         self._face_cache_key = None
         self._face_cache = None
 
@@ -643,7 +648,10 @@ class GLSInterpolation:
         # (grid, variable) — the host<->device link of this environment
         # runs at ~50 MB/s, so re-uploading ~100 MB of face vectors every
         # call would dominate the whole interpolation.
-        ckey = (id(grid), id(cells_data), id(points_data), variable)
+        if self._data_token is not None:
+            ckey = ("v", self._data_token, variable)
+        else:   # direct prepare() calls outside an Interpolator
+            ckey = (id(grid), id(cells_data), id(points_data), variable)
         if self._face_cache_key != ckey:
             perm = np.reshape(cells_data[perm_idx], (grid.n_elems, 3, 3))
             diff_mag = cells_data[diff_idx]

@@ -87,6 +87,10 @@ class Interpolator:
         self._prep_cache = {}
         # CSR pattern cache (rows/cols/mask derive from the grid only)
         self._csr_pattern = None
+        # monotonic stamp bumped on every load_mesh/load_data: keys the
+        # method-level device caches (id() of numpy arrays is unsafe —
+        # CPython reuses addresses after GC)
+        self._data_version = 0
         self.CACHE_PATH = tempfile.gettempdir()
 
     # ------------------------------------------------------------------
@@ -185,6 +189,7 @@ class Interpolator:
         self._device_grid = None
         self._prep_cache = {}
         self._csr_pattern = None
+        self._data_version += 1
         self.logger.log(
             f"Mesh loaded successfully: {self.grid.n_points} points and "
             f"{self.grid.n_elems} elements.", "INFO")
@@ -265,6 +270,7 @@ class Interpolator:
             self.points_data_dimensions = dimensions
             self.points_data = data_array
         self._prep_cache = {}
+        self._data_version += 1
 
     def load_cell_data(self):
         dim = self.grid.dim
@@ -313,6 +319,7 @@ class Interpolator:
             face_to_grid = idx_B_sorted[idx_in_B]
 
         self._prep_cache = {}
+        self._data_version += 1
         self.faces_data = np.zeros((len(data_dict), self.grid.n_faces),
                                    dtype=DTYPE_F)
         self.faces_data_dimensions = np.zeros(len(data_dict), dtype=DTYPE_I)
@@ -396,7 +403,8 @@ class Interpolator:
             "INFO")
         tp_key = (method, variable, len(target_points),
                   hash(target_points.tobytes()),
-                  self.gls.exact, self.gls.solver, self.gls.neumann_compat)
+                  self.gls.exact, self.gls.solver, self.gls.neumann_compat,
+                  self.gls.n_refine, self.gls.fallback_tol)
         if tp_key in self._prep_cache:
             weights, neumann_ws = self._prep_cache[tp_key]
         else:
@@ -464,6 +472,9 @@ class Interpolator:
             if method != "gls":
                 raise ValueError("device_out is only supported for 'gls'")
             kwargs["device_out"] = True
+        # content/version stamp for the GLS device face cache (replaces
+        # the unsafe id()-based key; see GLSInterpolation.prepare)
+        self.gls._data_token = self._data_version
 
         def _run():
             return self.supported_methods[method](

@@ -211,9 +211,12 @@ def exp2(x):
     acc = mul(acc, u)
     acc = add(acc, (jnp.ones_like(xh), jnp.zeros_like(xh)))
     # 2^k EXACTLY via exponent-field construction (jnp.exp2 is an
-    # approximation and is off by an ulp at some integers)
+    # approximation and is off by an ulp at some integers).  The exponent
+    # field wraps silently outside [-126, 127], so saturate: beyond the
+    # clamp the result degrades gracefully to ~2^±126-ish magnitudes
+    # instead of garbage (powd's documented domain is |x| < ~120).
     import jax.lax as lax
-    ki = k.astype(jnp.int32)
+    ki = jnp.clip(k.astype(jnp.int32), -126, 127)
     p2k = lax.bitcast_convert_type(
         ((ki + 127) << 23).astype(jnp.int32), jnp.float32)
     return scale(acc, p2k)

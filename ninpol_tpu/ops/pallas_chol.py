@@ -169,16 +169,20 @@ def _solve_kernel(dkh, dkl, l1h, l1l, l2h, l2l, t1h, t1l, tth, ttl,
     _gram_lower_into(a, g_scr, n, deadm + _F32(shift))
     _chol_inplace(g_scr, li_scr, n, tiny)
     li1 = li_scr[:]
+    # breakdown detection must look at BOTH rounds separately:
+    # diag(Lc) = diag(Li2)*diag(Li1) can cancel a huge round-1 diagonal
+    # (clamped pivot) against a tiny round-2 one, hiding the breakdown
+    # from a max over the combined factor alone.
+    dmax = jnp.zeros((NT,), _F32)
+    for k in range(n):
+        dmax = jnp.maximum(dmax, jnp.abs(li1[k, k, :]))
     q_cols = []
     for i in range(n):
         q_cols.append(jnp.sum(a * li1[i][None, :, :], axis=1))
     q = jnp.stack(q_cols, axis=1)
     _gram_lower_into(q, g_scr, n, deadm)
     # Lc = L2^{-1} @ Li1 (fused via mul=li1): M r = Lc^T (Lc r).
-    # diag(Lc) = diag(Li2)*diag(Li1), so one max over it detects a
-    # clamped or near-breakdown pivot in EITHER round.
     _chol_inplace(g_scr, li_scr, n, tiny, mul=li1)
-    dmax = jnp.zeros((NT,), _F32)
     for k in range(n):
         dmax = jnp.maximum(dmax, jnp.abs(li_scr[k, k, :]))
     lc = li_scr[:]

@@ -151,6 +151,52 @@ def test_repeated_interpolate_identical():
     assert np.array_equal(W1.indices, W2.indices)
 
 
+def test_load_data_invalidates_face_cache():
+    """Reloading cell data (new permeability) must invalidate the GLS
+    device face-flux cache.  Regression for the id()-keyed cache: after
+    GC a new data array could reuse a freed array's id() and silently be
+    served the stale flux vectors (ADVICE r2)."""
+    case, interp = setup(fam="tetra", n=3)
+    tp = np.arange(interp.grid.n_points)
+    W1, _ = interp.prepare_interpolator("gls", case.name, tp)
+    # perturb the permeability anisotropy and reload through the public
+    # path; also drop references so ids CAN be reused
+    v2i = interp.variable_to_index["cells"]
+    n_elems = interp.grid.n_elems
+    perm = interp.cells_data[v2i["permeability"]][:n_elems * 9] \
+        .reshape(-1, 3, 3).copy()
+    perm[:, 0, 0] *= 3.0
+    sol = interp.cells_data[v2i[case.name]][:n_elems].copy()
+    dmag = interp.compute_diffusion_magnitude(perm.reshape(-1, 9))
+    interp.load_data({"permeability": perm.reshape(-1, 9),
+                      case.name: sol, "diff_mag": dmag}, "cells")
+    W2, _ = interp.prepare_interpolator("gls", case.name, tp)
+    assert np.abs(W1 - W2).max() > 1e-8   # weights actually changed
+    # and they match a fresh interpolator fed the new data
+    fresh = Interpolator()
+    fresh.load_mesh(mesh_obj=case.mesh)
+    fresh.load_data({"permeability": perm.reshape(-1, 9),
+                     case.name: sol, "diff_mag": dmag}, "cells")
+    W3, _ = fresh.prepare_interpolator("gls", case.name, tp)
+    assert np.abs(W2 - W3).max() < 1e-12
+
+
+def test_gls_settings_invalidate_prep_cache():
+    """interpolate()'s prepared-weights cache key must include every GLS
+    knob that changes the result (n_refine/fallback_tol were missing)."""
+    case, interp = setup(fam="tetra", n=3)
+    W1, _ = interp.interpolate(case.name, "gls")
+    keys1 = set(interp._prep_cache)
+    interp.gls.n_refine = 5
+    interp.interpolate(case.name, "gls")
+    keys2 = set(interp._prep_cache)
+    assert keys2 - keys1, "changed n_refine must miss the prep cache"
+    interp.gls.fallback_tol = 1e-9
+    interp.interpolate(case.name, "gls")
+    assert set(interp._prep_cache) - keys2, \
+        "changed fallback_tol must miss the prep cache"
+
+
 def test_device_out_matches_host():
     """prepare_interpolator(device_out=True) returns the consolidated
     device array [weights | neumann] matching the host contract."""
