@@ -19,11 +19,52 @@ def _round_up(x, m):
     return int(-(-int(x) // m) * m)
 
 
-class DeviceGrid:
-    """Padded device mirrors of the Grid structures used by the methods."""
+# Canonical stencil-size ladder shared by ALL meshes: every bucket's
+# static (E, F) snaps UP to a ladder value, so different meshes of the
+# same family hit the SAME compiled kernel shapes.  Free-form quantile
+# cuts (round 2) gave each mesh its own shapes — with executable
+# load/compile costing ~minutes per shape through this environment's
+# remote helper, the shape count dominated process warm-start time.
+_SIZE_LADDER = (4, 8, 12, 16, 20, 24, 28, 32, 40, 48, 56, 64, 80, 96,
+                112, 128, 160, 192, 224, 256)
 
-    def __init__(self, grid):
+
+def _ladder_up(x):
+    x = int(x)
+    for v in _SIZE_LADDER:
+        if v >= x:
+            return v
+    return _round_up(x, 64)
+
+
+def _pow2_up(x, lo):
+    b = int(lo)
+    while b < x:
+        b *= 2
+    return b
+
+
+def _pow2_down(x, lo):
+    b = int(lo)
+    while b * 2 <= x:
+        b *= 2
+    return b
+
+
+class DeviceGrid:
+    """Padded device mirrors of the Grid structures used by the methods.
+
+    With ``mesh`` (a jax.sharding.Mesh), every array is REPLICATED over
+    the mesh's devices and the method drivers route kernels through
+    jax.shard_map with the node batch sharded over the mesh axis — the
+    multi-chip scaling path (per-node weights are node-local, so stencil
+    gathers stay device-local and no collectives are needed; see
+    parallel/sharding.py for the geometry-sharded memory-scaling
+    variant)."""
+
+    def __init__(self, grid, mesh=None):
         self.grid = grid
+        self.mesh = mesh
         self.dim = grid.dim
         self.n_points = grid.n_points
         self.n_elems = grid.n_elems
@@ -34,24 +75,40 @@ class DeviceGrid:
         # bucket's static E/F never exceeds the array width.
         self.esup2d_h = csr_to_padded(
             grid.esup_ptr, grid.esup,
-            _round_up(max(grid.MX_ELEMENTS_PER_POINT, 1), 4)
+            _ladder_up(max(grid.MX_ELEMENTS_PER_POINT, 1))
         ).astype(np.int32)
         self.esup_cnt_h = np.diff(grid.esup_ptr).astype(np.int32)
         self.fsup2d_h = csr_to_padded(
             grid.fsup_ptr, grid.fsup,
-            _round_up(max(grid.MX_FACES_PER_POINT, 1), 4)
+            _ladder_up(max(grid.MX_FACES_PER_POINT, 1))
         ).astype(np.int32)
         self.fsup_cnt_h = np.diff(grid.fsup_ptr).astype(np.int32)
         esuf_w = max(grid.MX_ELEMENTS_PER_FACE, 2)
         self.esuf2d_h = csr_to_padded(
             grid.esuf_ptr, grid.esuf, esuf_w).astype(np.int32)
 
-        dev = jax.devices()[0]
-        put = lambda x: jax.device_put(jnp.asarray(x), dev)
-        self.point_coords = put(grid.point_coords)
-        self.centroids = put(grid.centroids)
-        self.normal_faces = put(grid.normal_faces)
-        self.faces_centers = put(grid.faces_centers)
+        if mesh is None:
+            target = jax.devices()[0]
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+            target = NamedSharding(mesh, PartitionSpec())
+        put = lambda x: jax.device_put(jnp.asarray(x), target)
+
+        def put_pair(a):
+            """Upload a float64 geometry array as an exact hi/lo float32
+            pair (same bytes on the wire; hi + lo reconstructs the f64
+            bit-exactly).  The GLS fast path consumes the pairs directly
+            (df32 prologue); f64 consumers use the lazy properties."""
+            a = np.asarray(a, np.float64)
+            h = a.astype(np.float32)
+            return put(h), put((a - h.astype(np.float64))
+                               .astype(np.float32))
+
+        self.pc_h, self.pc_l = put_pair(grid.point_coords)
+        self.cen_h, self.cen_l = put_pair(grid.centroids)
+        self.nrm_h, self.nrm_l = put_pair(grid.normal_faces)
+        self.fcc_h, self.fcc_l = put_pair(grid.faces_centers)
+        self._f64_cache = {}
         self.boundary_points = put(grid.boundary_points.astype(np.int32))
         self.boundary_faces = put(grid.boundary_faces.astype(np.int32))
         self.esup2d = put(self.esup2d_h)
@@ -60,6 +117,31 @@ class DeviceGrid:
         self.fsup_cnt = put(self.fsup_cnt_h)
         self.esuf2d = put(self.esuf2d_h)
         self.inpofa = put(grid.inpofa.astype(np.int32))
+
+    # float64 device views reconstructed lazily from the pairs (exact:
+    # hi + lo is the original value) — used by IDW/LS and the legacy
+    # solver paths; the GLS fast path reads the pairs directly.
+    def _f64(self, name, h, l):
+        if name not in self._f64_cache:
+            self._f64_cache[name] = (h.astype(jnp.float64)
+                                     + l.astype(jnp.float64))
+        return self._f64_cache[name]
+
+    @property
+    def point_coords(self):
+        return self._f64("pc", self.pc_h, self.pc_l)
+
+    @property
+    def centroids(self):
+        return self._f64("cen", self.cen_h, self.cen_l)
+
+    @property
+    def normal_faces(self):
+        return self._f64("nrm", self.nrm_h, self.nrm_l)
+
+    @property
+    def faces_centers(self):
+        return self._f64("fcc", self.fcc_h, self.fcc_l)
 
     # ------------------------------------------------------------------
     def buckets(self, target_points, active_mask, need_faces=True,
@@ -74,12 +156,13 @@ class DeviceGrid:
           valid    mask of real entries
           E, F     static per-bucket stencil paddings (multiples of 4)
 
-        Nodes are first classed into stencil-size buckets (quantile cuts on
-        n_elem, rounded to multiples of 4 to bound recompilation across
-        meshes), then each bucket is sliced into chunks of at most
-        ``chunk_size`` nodes so kernel working memory stays bounded
-        (a full 1M-cell mesh in one batch would exceed HBM).  All full
-        chunks share one compiled shape.
+        Nodes are first classed into stencil-size buckets (quantile cuts
+        on n_elem, snapped UP to the canonical _SIZE_LADDER so all
+        meshes share the same compiled shapes), then each bucket is
+        sliced into power-of-two chunks of at most ``chunk_size`` nodes
+        so kernel working memory stays bounded (a full 1M-cell mesh in
+        one batch would exceed HBM).  All full chunks share one compiled
+        shape; tails pad to the next power of two.
         """
         target_points = np.asarray(target_points)
         pos_all = np.nonzero(active_mask)[0]
@@ -90,8 +173,12 @@ class DeviceGrid:
         nf = (self.fsup_cnt_h[nodes_all].astype(np.int64)
               if need_faces else np.zeros_like(ne))
 
+        # batch sizes are batch_align * 2^k (multichip passes
+        # 128 * n_devices so every chunk shards evenly into 128-node
+        # Pallas tiles per device)
+        batch_align = max(int(batch_align), 256)
         qs = [0.5, 0.85, 1.0][-max_buckets:]
-        cuts = sorted({_round_up(np.quantile(ne, q), 4) for q in qs})
+        cuts = sorted({_ladder_up(np.quantile(ne, q)) for q in qs})
         assigned = np.full(len(pos_all), -1)
         for ci, cut in enumerate(cuts):
             sel = (assigned < 0) & (ne <= cut)
@@ -107,26 +194,28 @@ class DeviceGrid:
             carry = np.zeros(len(pos_all), dtype=bool)
             if not sel.any():
                 continue
-            E = _round_up(ne[sel].max(), 4)
-            F = _round_up(nf[sel].max(), 4) if need_faces else 0
+            E = _ladder_up(ne[sel].max())
+            F = _ladder_up(nf[sel].max()) if need_faces else 0
             p = pos_all[sel]
             nsel = nodes_all[sel]
-            csize = chunk_size
+            csize = _pow2_down(chunk_size, batch_align)
             if chunk_elems is not None:
                 # bound kernel working set: B * m * n matrix elements
-                # (float64 is software-emulated on TPU and costs several
-                # buffers per element, so the budget is deliberately low)
                 m_pad = 4 * E + 4 * F
                 n_pad = 3 * E + 1
                 csize = max(batch_align, min(
-                    chunk_size,
-                    chunk_elems // (m_pad * n_pad) // batch_align
-                    * batch_align))
+                    csize,
+                    _pow2_down(max(chunk_elems // (m_pad * n_pad), 1),
+                               batch_align)))
             for lo in range(0, len(p), csize):
                 pc = p[lo:lo + csize]
                 nc = nsel[lo:lo + csize]
+                # full chunks share one compiled shape; the tail pads to
+                # the next power of two (bounded shape variety — each
+                # distinct (E, F, B) costs a multi-minute kernel
+                # compile/load through the remote helper)
                 B = (csize if len(pc) == csize
-                     else _round_up(len(pc), batch_align))
+                     else min(csize, _pow2_up(len(pc), batch_align)))
                 pos = np.full(B, -1, dtype=np.int64)
                 pos[:len(pc)] = pc
                 nodes = np.zeros(B, dtype=np.int32)
@@ -134,3 +223,43 @@ class DeviceGrid:
                 out.append({"pos": pos, "nodes": nodes, "E": E, "F": F,
                             "valid": pos >= 0})
         return out
+
+
+def deliver_weights(launched, weights, neumann_ws, n_target, device_out,
+                    delivery_f32=False):
+    """Shared IDW/LS result delivery.
+
+    launched: [(bucket, (B, ncols) device rows)].
+    device_out=True returns a consolidated (n_target, ncols+1) float64
+    device array [weights | 0] (the neumann column is zero — IDW/LS
+    never write it, idw.pyx/ls.pyx) for on-device consumers, skipping
+    the host relay entirely.  delivery_f32=True fetches the rows as
+    float32 (half the relay bytes; ~1e-7 relative rounding — documented
+    non-parity knob)."""
+    ncols_out = weights.shape[1]
+    if device_out:
+        wdev = jnp.zeros((n_target, ncols_out + 1), jnp.float64)
+        for bucket, w in launched:
+            pos = jnp.asarray(np.where(bucket["pos"] >= 0,
+                                       bucket["pos"], n_target))
+            rows = jnp.concatenate(
+                [w, jnp.zeros((w.shape[0], 1), w.dtype)], axis=1)
+            wdev = wdev.at[pos].set(rows, mode="drop")
+        return wdev
+    if not launched:
+        return weights, neumann_ws
+    # one consolidated fetch (the host link has ~70 ms latency per
+    # transfer; see methods/gls.py)
+    cat = (launched[0][1] if len(launched) == 1 else
+           jnp.concatenate([w for _, w in launched], axis=0))
+    if delivery_f32:
+        cat = cat.astype(jnp.float32)
+    host = np.asarray(cat)
+    lo = 0
+    for bucket, w in launched:
+        nb = w.shape[0]
+        sel = bucket["valid"]
+        pos = bucket["pos"][sel]
+        weights[pos, :] = host[lo:lo + nb][sel]
+        lo += nb
+    return weights, neumann_ws

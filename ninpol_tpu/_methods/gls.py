@@ -62,22 +62,26 @@ from ..ops.solve import (householder_lastrow,
 # ---------------------------------------------------------------------------
 # Per-bucket kernel
 # ---------------------------------------------------------------------------
-@partial(jax.jit, static_argnames=("E", "F", "n_refine", "exact",
-                                   "neumann_compat", "with_neumann",
-                                   "solver"))
-def _gls_bucket_kernel(
+# Force the fused Pallas path off-TPU (interpret mode) — used by the CPU
+# test that pins gls_solve_fused against the oracle without hardware.
+_FORCE_FUSED = False
+
+
+def _gls_bucket_impl(
         nodes, valid,                       # (B,), (B,)
         esup2d, esup_cnt, fsup2d, fsup_cnt, esuf2d,
-        point_coords, centroids, normal_faces, faces_centers,
+        pc_h, pc_l, cen_h, cen_l, nrm_h, nrm_l, fcc_h, fcc_l,
         boundary_faces, inpofa,
-        nL1g, nL2g, etag, nLbg, neumann_flag, neumann_val,
+        nL1_h, nL1_l, nL2_h, nL2_l, eta_h, eta_l, nLb_h, nLb_l,
+        neumann_flag, nval_h, nval_l,
         *, E, F, n_refine=2, exact=False, neumann_compat=True,
-        with_neumann=True, solver="cholqr"):
+        with_neumann=True, solver="cholqr", fused=False):
     f64 = jnp.float64
+    f32 = jnp.float32
     B = nodes.shape[0]
     n = 3 * E + 1
 
-    # ---- gather stencils -------------------------------------------------
+    # ---- gather stencils (integer topology) ------------------------------
     KSetv = esup2d[nodes, :E]                                   # (B,E)
     n_elem = jnp.minimum(esup_cnt[nodes], E)                    # (B,)
     cell_valid = (jnp.arange(E)[None, :] < n_elem[:, None]) & (KSetv >= 0)
@@ -95,68 +99,177 @@ def _gls_bucket_kernel(
     # Dirichlet-boundary nodes are excluded by the caller's bucket mask.
     active = valid & ~skip_build
 
-    xv = point_coords[nodes]                                    # (B,3)
-
-    # ---- per-cell / per-face pieces (float64, small) ---------------------
-    cvf = cell_valid.astype(f64)
-    dKv = jnp.where(cell_valid[:, :, None],
-                    centroids[KS] - xv[:, None, :], 0.0)        # (B,E,3)
-
     pair = esuf2d[SF][:, :, :2]                                 # (B,F,2)
     interior = face_valid & (pair[:, :, 1] >= 0)
     k1 = jnp.where(interior, pair[:, :, 0], 0)
     k2 = jnp.where(interior, pair[:, :, 1], 0)
 
-    # nL1/nL2 (= K^T N per face side) and eta are pure FACE data,
-    # precomputed once per prepare() — the per-chunk (B,F,3,3)
-    # permeability gathers + einsums they replace dominated this stage.
-    Nf = normal_faces[SF]                                       # (B,F,3)
-    fc = faces_centers[SF]
-    eta = etag[SF]
-    T1 = xv[:, None, :] - fc                                    # (B,F,3)
-    T2 = jnp.cross(Nf, T1)
-    T2n = jnp.sqrt(jnp.sum(T2 * T2, axis=2))
-    tau_base = jnp.where(interior, jnp.maximum(T2n, 1e-30), 1.0)
-    if jax.default_backend() == "tpu":
-        # float64 pow is an emulated transcendental (~9 ms per 8k-node
-        # chunk); df32 pow (ops/df32.powd, ~2e-13 relative) runs as
-        # plain f32 vector ops.  RAVELED: (B, F) arrays tile at F/128
-        # lane utilization, 1-D at ~100%.  tau feeds the LS rows at a
-        # sensitivity well inside the 1e-10 parity budget.
-        tau = df32.to_f64(df32.powd(
-            df32.from_f64(tau_base.ravel()),
-            df32.from_f64(-eta.ravel()))).reshape(B, F)
-    else:
-        tau = tau_base ** (-eta)
-
-    imask = interior[:, :, None].astype(f64)
-    nL1m = nL1g[SF] * imask
-    nL2m = nL2g[SF] * imask
-    T1m = T1 * imask
-    tauT2m = tau[:, :, None] * T2 * imask
-
     S1 = (KS[:, None, :] == k1[:, :, None]) & interior[:, :, None] \
         & cell_valid[:, None, :]                                # (B,F,E)
     S2 = (KS[:, None, :] == k2[:, :, None]) & interior[:, :, None] \
         & cell_valid[:, None, :]
-    S1f = S1.astype(f64)
-    S2f = S2.astype(f64)
     Ij1 = jnp.argmax(S1, axis=2)                                # (B,F)
     Ij2 = jnp.argmax(S2, axis=2)
 
     if with_neumann:
         bmask = face_valid & (boundary_faces[SF] != 0) & is_neu[:, None]
         owner = jnp.where(bmask, pair[:, :, 0], 0)
-        bm = bmask[:, :, None].astype(f64)
         Sb = ((KS[:, None, :] == owner[:, :, None])
               & bmask[:, :, None] & cell_valid[:, None, :])
-        Sbf = Sb.astype(f64)
         Ikb = jnp.argmax(Sb, axis=2)
-        nLbm = nLbg[SF] * bm
         fpts = inpofa[SF]                                       # (B,F,4)
         fp_valid = fpts >= 0
-        nvals = jnp.where(fp_valid,
-                          neumann_val[jnp.where(fp_valid, fpts, 0)], 0.0)
+        fpts_safe = jnp.where(fp_valid, fpts, 0)
+
+    if fused:
+        # ---- df32 prologue (TPU fast path) -------------------------------
+        # The geometric pieces are computed as error-free float32 hi/lo
+        # pairs straight from the pair-split device arrays: the former
+        # float64 prologue ran as emulated multi-pass f64 (gathers,
+        # subtractions, cross products ~ the dominant per-chunk XLA cost,
+        # VERDICT r2) — df32 hits ~2^-47 relative at plain-f32 VPU speed,
+        # well inside the 1e-10 parity budget (tau was already df32).
+        dd = df32
+
+        def gpair(h, l, idx):
+            return h[idx], l[idx]
+
+        def pmask(p, m32):
+            return p[0] * m32, p[1] * m32
+
+        def comp(p, c):
+            return p[0][..., c], p[1][..., c]
+
+        cv32 = cell_valid.astype(f32)
+        af32 = active.astype(f32)
+        im32 = interior.astype(f32)[:, :, None]
+        xv = gpair(pc_h, pc_l, nodes)                           # (B,3)
+        xvb = (xv[0][:, None, :], xv[1][:, None, :])
+        dKv_s = pmask(dd.add(gpair(cen_h, cen_l, KS), dd.neg(xvb)),
+                      cv32[:, :, None])                         # (B,E,3)
+        Nf = gpair(nrm_h, nrm_l, SF)                            # (B,F,3)
+        fc = gpair(fcc_h, fcc_l, SF)
+        T1 = dd.add(xvb, dd.neg(fc))                            # (B,F,3)
+        T2c = []
+        for (i, j) in ((1, 2), (2, 0), (0, 1)):                 # N x T1
+            T2c.append(dd.add(dd.mul(comp(Nf, i), comp(T1, j)),
+                              dd.neg(dd.mul(comp(Nf, j), comp(T1, i)))))
+        T2 = (jnp.stack([t[0] for t in T2c], axis=-1),
+              jnp.stack([t[1] for t in T2c], axis=-1))
+        # tau = ||T2||^(-eta) = exp2(-(eta/2) * log2(||T2||^2)) — skips
+        # the sqrt entirely.  Degenerate faces (||T2|| ~ 0) get a clamp;
+        # their rows are zero regardless (tau multiplies T2).
+        t2n2 = dd.dot3(T2, T2, axis=-1)                         # (B,F)
+        degen = t2n2[0] < f32(1e-30)
+        t2h = jnp.where(interior & ~degen, t2n2[0],
+                        jnp.where(interior, f32(1e-30), f32(1.0)))
+        t2l = jnp.where(interior & ~degen, t2n2[1], f32(0.0))
+        eta = gpair(eta_h, eta_l, SF)
+        tau = dd.exp2(dd.mul(dd.scale(eta, f32(-0.5)),
+                             dd.log2((t2h, t2l))))              # (B,F)
+        taub = (tau[0][:, :, None], tau[1][:, :, None])
+        nL1m = pmask(gpair(nL1_h, nL1_l, SF), im32)
+        nL2m = pmask(gpair(nL2_h, nL2_l, SF), im32)
+        T1m = pmask(T1, im32)
+        tauT2m = pmask(dd.mul(taub, T2), im32)
+        if with_neumann:
+            bm32 = bmask.astype(f32)
+            nLb_s = pmask(gpair(nLb_h, nLb_l, SF), bm32[:, :, None])
+            nvh = jnp.where(fp_valid, nval_h[fpts_safe], f32(0.0))
+            nvl = jnp.where(fp_valid, nval_l[fpts_safe], f32(0.0))
+            s = (nvh[..., 0], nvl[..., 0])
+            for c in range(1, fpts.shape[2]):
+                s = dd.add(s, (nvh[..., c], nvl[..., c]))
+            cnt = jnp.maximum(jnp.sum(fp_valid, axis=2), 1).astype(f32)
+            nmean_s = pmask(dd.div(s, (cnt, jnp.zeros_like(cnt))), bm32)
+        else:
+            zF32 = jnp.zeros((B, F), f32)
+            nLb_s = (jnp.zeros((B, F, 3), f32), jnp.zeros((B, F, 3), f32))
+            nmean_s = (zF32, zF32)
+
+        # ---- ONE fused Pallas pass per node tile: assembly, shifted
+        # CholQR2, df32 refinement sweeps and weight extraction stay in
+        # VMEM in the TILED (G, ., ., NT) layout (ops/pallas_chol).
+        from ..ops.pallas_chol import NT as _NT, gls_solve_fused
+        Gt = B // _NT
+        i32 = lambda a: a.astype(jnp.int32)
+
+        def tile(x):
+            """(B, K, 3) f32 -> (G, K, 3, NT)."""
+            K = x.shape[1]
+            return jnp.transpose(x.reshape(Gt, _NT, K, 3), (0, 2, 3, 1))
+
+        def tile2(x):
+            """(B, K) -> (G, K, NT)."""
+            K = x.shape[1]
+            return jnp.transpose(x.reshape(Gt, _NT, K), (0, 2, 1))
+
+        ikb_t = (tile2(i32(Ikb)) if with_neumann
+                 else jnp.zeros((Gt, F, _NT), jnp.int32))
+        wh, wl, wnh, wnl, rnt = gls_solve_fused(
+            tile(dKv_s[0]), tile(dKv_s[1]),
+            tile(nL1m[0]), tile(nL1m[1]),
+            tile(nL2m[0]), tile(nL2m[1]),
+            tile(T1m[0]), tile(T1m[1]),
+            tile(tauT2m[0]), tile(tauT2m[1]),
+            tile(nLb_s[0]), tile(nLb_s[1]),
+            tile2(i32(Ij1)), tile2(i32(Ij2)), ikb_t,
+            tile2(cv32), tile2(af32[:, None]),
+            tile2(nmean_s[0]), tile2(nmean_s[1]),
+            with_neumann, sweeps=max(n_refine + 1, 2))
+
+        def untile(x):
+            """(G, K, NT) -> (B, K)."""
+            return jnp.transpose(x, (0, 2, 1)).reshape(B, -1)
+
+        w = untile(wh).astype(f64) + untile(wl).astype(f64)
+        w_neu_correct = (untile(wnh).astype(f64)
+                         + untile(wnl).astype(f64))[:, 0]
+        rnorm = untile(rnt).astype(f64)[:, 0]
+        w = jnp.where(active[:, None] & cell_valid, w, 0.0)
+        if neumann_compat:
+            # reference reads the last cell column (gls.pyx:472)
+            w_neu = jnp.take_along_axis(
+                w, jnp.maximum(n_elem - 1, 0)[:, None], axis=1)[:, 0]
+        else:
+            w_neu = w_neu_correct
+        w_neu = jnp.where(active & is_neu, w_neu, 0.0)
+        return w, w_neu, jnp.where(active, rnorm, 0.0)
+
+    # ---- float64 prologue (exact path + CPU/legacy solvers) --------------
+    # Pieces are reconstructed exactly from the hi/lo pairs (hi + lo IS
+    # the original float64) and computed in f64, so the exact path stays
+    # a true dgels-equivalent oracle (tau included: f64 pow here).
+    def to64(h, l, idx):
+        return h[idx].astype(f64) + l[idx].astype(f64)
+
+    xv = to64(pc_h, pc_l, nodes)                                # (B,3)
+    cvf = cell_valid.astype(f64)
+    dKv = jnp.where(cell_valid[:, :, None],
+                    to64(cen_h, cen_l, KS) - xv[:, None, :], 0.0)
+    Nf = to64(nrm_h, nrm_l, SF)                                 # (B,F,3)
+    fc = to64(fcc_h, fcc_l, SF)
+    eta = to64(eta_h, eta_l, SF)
+    T1 = xv[:, None, :] - fc                                    # (B,F,3)
+    T2 = jnp.cross(Nf, T1)
+    T2n = jnp.sqrt(jnp.sum(T2 * T2, axis=2))
+    tau_base = jnp.where(interior, jnp.maximum(T2n, 1e-30), 1.0)
+    tau = tau_base ** (-eta)
+
+    imask = interior[:, :, None].astype(f64)
+    nL1m = to64(nL1_h, nL1_l, SF) * imask
+    nL2m = to64(nL2_h, nL2_l, SF) * imask
+    T1m = T1 * imask
+    tauT2m = tau[:, :, None] * T2 * imask
+
+    S1f = S1.astype(f64)
+    S2f = S2.astype(f64)
+
+    if with_neumann:
+        bm = bmask[:, :, None].astype(f64)
+        Sbf = Sb.astype(f64)
+        nLbm = to64(nLb_h, nLb_l, SF) * bm
+        nvals = jnp.where(fp_valid, to64(nval_h, nval_l, fpts_safe), 0.0)
         nmean = jnp.where(
             bmask, jnp.sum(nvals, axis=2)
             / jnp.maximum(jnp.sum(fp_valid, axis=2), 1), 0.0)   # (B,F)
@@ -343,7 +456,6 @@ def _gls_bucket_kernel(
                              _nLb_or_zero)
 
     # ---- solve -----------------------------------------------------------
-    w_direct = False
     if exact:
         A = assemble(f64)
         # The Householder last-row formula requires the diagonal to stay
@@ -387,94 +499,47 @@ def _gls_bucket_kernel(
         # round 2 heals the shift-induced distortion).  Dead (padding)
         # columns get a decoupled unit diagonal — their equilibrated
         # columns are exactly zero, so no coupling to real columns.
-        on_tpu = jax.default_backend() == "tpu"
-        w_direct = False
-        if on_tpu:
-            # ONE fused Pallas pass per node tile: assembly, shifted
-            # CholQR2, df32 refinement sweeps, and weight extraction all
-            # stay in VMEM in the TILED (G, ., ., NT) layout (see
-            # ops/pallas_chol.gls_solve_fused).
-            from ..ops.pallas_chol import NT as _NT, gls_solve_fused
-            Gt = B // _NT
-            i32 = lambda a: a.astype(jnp.int32)
+        # (the TPU fused-kernel variant of this algorithm took the early
+        # `fused` branch above; this is the LAPACK-backed composition)
+        Ah = assemble_from(f32, dKv_s[0], cvf, nL1_s[0], nL2_s[0],
+                           T1_s[0], tau_s[0], nLb_s[0])
+        d2 = jnp.einsum("bmn,bmn->bn", Ah, Ah)
+        deadc = d2 == 0
+        D32 = jnp.where(deadc, f32(0),
+                        jax.lax.rsqrt(jnp.where(deadc, f32(1), d2)))
+        As = Ah * D32[:, None, :]
+        eyen = jnp.eye(n, dtype=f32)[None]
+        G1 = gram_f32(As) + eyen * (deadc.astype(f32)
+                                    + f32(1.5e-5))[:, :, None]
+        Li1 = chol_linv_f32(G1)
+        G2 = (round2_gram_f32(As, Li1)
+              + eyen * deadc.astype(f32)[:, :, None])
+        # fused: Lc = L2^{-1} @ Li1, so M r = Lc^T (Lc r) — one
+        # combined factor, one application pass per sweep
+        Lc = chol_linv_f32(G2, mul_right=Li1)
+        dmax = jnp.maximum(
+            jnp.max(jnp.abs(jnp.diagonal(Li1, axis1=1, axis2=2)),
+                    axis=1),
+            jnp.max(jnp.abs(jnp.diagonal(Lc, axis1=1, axis2=2)),
+                    axis=1))
+        D = D32.astype(f64)
 
-            def tile(x):
-                """(B, K, 3) -> (G, K, 3, NT) f32."""
-                K = x.shape[1]
-                return jnp.transpose(
-                    x.astype(f32).reshape(Gt, _NT, K, 3), (0, 2, 3, 1))
+        def M(r64):
+            v = (r64 * D).astype(f32)
+            v = prec_apply_f32(Lc, v)
+            return v.astype(f64) * D
 
-            def tile2(x):
-                """(B, K) -> (G, K, NT)."""
-                K = x.shape[1]
-                return jnp.transpose(x.reshape(Gt, _NT, K), (0, 2, 1))
-
-            zF = jnp.zeros((B, F), f64)
-            nm_h, nm_l = nmean_s if with_neumann else (zF, zF)
-            ikb_t = (tile2(i32(Ikb)) if with_neumann
-                     else jnp.zeros((Gt, F, _NT), jnp.int32))
-            wh, wl, wnh, wnl, rnt = gls_solve_fused(
-                tile(dKv_s[0]), tile(dKv_s[1]),
-                tile(nL1_s[0]), tile(nL1_s[1]),
-                tile(nL2_s[0]), tile(nL2_s[1]),
-                tile(T1_s[0]), tile(T1_s[1]),
-                tile(tau_s[0]), tile(tau_s[1]),
-                tile(nLb_s[0]), tile(nLb_s[1]),
-                tile2(i32(Ij1)), tile2(i32(Ij2)), ikb_t,
-                tile2(cvf.astype(f32)),
-                tile2(active.astype(f32)[:, None]),
-                tile2(nm_h.astype(f32)), tile2(nm_l.astype(f32)),
-                with_neumann, sweeps=max(n_refine + 1, 2))
-
-            def untile(x):
-                """(G, K, NT) -> (B, K)."""
-                return jnp.transpose(x, (0, 2, 1)).reshape(B, -1)
-
-            w = (untile(wh).astype(f64) + untile(wl).astype(f64))
-            w_neu_correct = (untile(wnh).astype(f64)
-                             + untile(wnl).astype(f64))[:, 0]
-            rnorm = untile(rnt).astype(f64)[:, 0]
-            w_direct = True
-        else:
-            Ah = assemble_from(f32, dKv_s[0], cvf, nL1_s[0], nL2_s[0],
-                               T1_s[0], tau_s[0], nLb_s[0])
-            d2 = jnp.einsum("bmn,bmn->bn", Ah, Ah)
-            deadc = d2 == 0
-            D32 = jnp.where(deadc, f32(0),
-                            jax.lax.rsqrt(jnp.where(deadc, f32(1), d2)))
-            As = Ah * D32[:, None, :]
-            eyen = jnp.eye(n, dtype=f32)[None]
-            G1 = gram_f32(As) + eyen * (deadc.astype(f32)
-                                        + f32(1.5e-5))[:, :, None]
-            Li1 = chol_linv_f32(G1)
-            G2 = (round2_gram_f32(As, Li1)
-                  + eyen * deadc.astype(f32)[:, :, None])
-            # fused: Lc = L2^{-1} @ Li1, so M r = Lc^T (Lc r) — one
-            # combined factor, one application pass per sweep
-            Lc = chol_linv_f32(G2, mul_right=Li1)
-            dmax = jnp.maximum(
-                jnp.max(jnp.abs(jnp.diagonal(Li1, axis1=1, axis2=2)),
-                        axis=1),
-                jnp.max(jnp.abs(jnp.diagonal(Lc, axis1=1, axis2=2)),
-                        axis=1))
-            D = D32.astype(f64)
-
-            def M(r64):
-                v = (r64 * D).astype(f32)
-                v = prec_apply_f32(Lc, v)
-                return v.astype(f64) * D
-        if not w_direct:
-            sick = dmax > f32(3e4)
-            b = jnp.zeros((B, n), f64).at[:, n - 1].set(1.0)
-            y = M(b)
-            dy = y
-            for _ in range(max(n_refine + 1, 2)):
-                r = b - mul_G_df32(y)
-                dy = M(r)
-                y = y + dy
-            rnorm = jnp.sqrt(jnp.sum(dy * dy, axis=1)) / jnp.maximum(
-                jnp.linalg.norm(y, axis=1), 1e-300)
-            rnorm = jnp.where(sick, jnp.ones_like(rnorm), rnorm)
+        sick = dmax > f32(3e4)
+        b = jnp.zeros((B, n), f64).at[:, n - 1].set(1.0)
+        y = M(b)
+        dy = y
+        for _ in range(max(n_refine + 1, 2)):
+            r = b - mul_G_df32(y)
+            dy = M(r)
+            y = y + dy
+        rnorm = jnp.sqrt(jnp.sum(dy * dy, axis=1)) / jnp.maximum(
+            jnp.linalg.norm(y, axis=1), 1e-300)
+        rnorm = jnp.where(sick, jnp.ones_like(rnorm), rnorm)
     elif solver == "pallas":
         # df32 (double-float32) QR + semi-normal solve in Pallas VMEM
         # kernels + ONE float64 structured correction (CSNE): reaches
@@ -528,7 +593,7 @@ def _gls_bucket_kernel(
         y, rnorm = solve_normal_refined_ops(A32, b, mul_G,
                                             n_refine=n_refine)
 
-    if not exact and not w_direct:
+    if not exact:
         # weights_j = (cell row j) . y — exactly mul_A(y)'s cell block;
         # true neumann weight = sum_f nmean * (neumann row f . y)
         if need_df:
@@ -561,6 +626,39 @@ def _gls_bucket_kernel(
     w_neu = jnp.where(active & is_neu, w_neu, 0.0)
     return w, w_neu, jnp.where(active, rnorm, 0.0)
 
+
+# Single-chip entry: one jit per static (E, F, ...) class.
+_gls_bucket_kernel = partial(
+    jax.jit, static_argnames=("E", "F", "n_refine", "exact",
+                              "neumann_compat", "with_neumann",
+                              "solver", "fused"))(_gls_bucket_impl)
+
+# Multi-chip entry: the SAME kernel body under jax.shard_map — the node
+# batch is sharded over the mesh's "nodes" axis, all grid/face arrays
+# are replicated (per-node weights are node-local, SURVEY §2.3: stencil
+# gathers stay device-local; XLA inserts no collectives).  This is the
+# TPU-native analogue of adding OpenMP threads in the reference.
+_N_REPLICATED_ARGS = 26     # every positional arg after (nodes, valid)
+_sharded_cache = {}
+
+
+def _gls_bucket_sharded(mesh, statics):
+    """jit(shard_map(kernel)) for a device mesh, cached per (mesh,
+    statics).  ``statics`` is the hashable tuple of the kernel's static
+    kwargs."""
+    key = (mesh, statics)
+    fn = _sharded_cache.get(key)
+    if fn is None:
+        from jax.sharding import PartitionSpec as P
+        axis = mesh.axis_names[0]
+        body = partial(_gls_bucket_impl, **dict(statics))
+        nspec = P(axis)
+        in_specs = (nspec, nspec) + (P(),) * _N_REPLICATED_ARGS
+        out_specs = (nspec, nspec, nspec)
+        fn = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                                   out_specs=out_specs))
+        _sharded_cache[key] = fn
+    return fn
 
 
 def precompute_face_data(grid, perm, diff_mag):
@@ -627,6 +725,9 @@ class GLSInterpolation:
         self._data_token = None
         self._face_cache_key = None
         self._face_cache = None
+        # f32 host delivery (documented non-parity knob, see
+        # Interpolator.delivery_f32)
+        self.delivery_f32 = False
 
     def prepare(self, dgrid, cells_data, points_data, faces_data,
                 variable_to_index, variable, target_points,
@@ -657,28 +758,48 @@ class GLSInterpolation:
             diff_mag = cells_data[diff_idx]
             nL1g, nL2g, etag, nLbg = precompute_face_data(
                 grid, perm, diff_mag)
-            self._face_cache = tuple(jnp.asarray(a) for a in (
-                nL1g, nL2g, etag, nLbg, neumann_flag,
-                points_data[nv_idx]))
+
+            def sp(a):
+                # exact hi/lo float32 split, on the host (same bytes on
+                # the wire as the float64 upload it replaces)
+                a = np.asarray(a, np.float64)
+                h = a.astype(np.float32)
+                return (jnp.asarray(h),
+                        jnp.asarray((a - h.astype(np.float64))
+                                    .astype(np.float32)))
+
+            self._face_cache = (sp(nL1g) + sp(nL2g) + sp(etag) + sp(nLbg)
+                                + (jnp.asarray(neumann_flag),)
+                                + sp(points_data[nv_idx]))
             self._face_cache_key = ckey
-        (nL1_d, nL2_d, etag_d, nLbg_d, nflag_d, nval_d) = self._face_cache
+        face_dev = self._face_cache
 
         solver = self.solver
         if solver == "auto":
             solver = "cholqr"
+        fused_ok = (solver == "cholqr"
+                    and (jax.default_backend() == "tpu" or _FORCE_FUSED))
+
+        mesh = getattr(dgrid, "mesh", None)
 
         def run_bucket(bucket, exact):
-            return _gls_bucket_kernel(
+            args = (
                 bucket["nodes"], bucket["valid"],
                 dgrid.esup2d, dgrid.esup_cnt, dgrid.fsup2d, dgrid.fsup_cnt,
-                dgrid.esuf2d, dgrid.point_coords, dgrid.centroids,
-                dgrid.normal_faces, dgrid.faces_centers,
+                dgrid.esuf2d,
+                dgrid.pc_h, dgrid.pc_l, dgrid.cen_h, dgrid.cen_l,
+                dgrid.nrm_h, dgrid.nrm_l, dgrid.fcc_h, dgrid.fcc_l,
                 dgrid.boundary_faces, dgrid.inpofa,
-                nL1_d, nL2_d, etag_d, nLbg_d, nflag_d, nval_d,
+                *face_dev)
+            statics = dict(
                 E=bucket["E"], F=bucket["F"], n_refine=self.n_refine,
                 exact=exact, neumann_compat=self.neumann_compat,
                 with_neumann=bucket.get("with_neumann", True),
-                solver=solver)
+                solver=solver, fused=fused_ok and not exact)
+            if mesh is None:
+                return _gls_bucket_kernel(*args, **statics)
+            return _gls_bucket_sharded(
+                mesh, tuple(sorted(statics.items())))(*args)
 
         # Interior nodes skip the Neumann row block entirely (a static
         # kernel variant with ~45% fewer matrix rows), so bucket the
@@ -687,12 +808,14 @@ class GLSInterpolation:
         chunk_elems = (self.chunk_elems_exact if self.exact
                        else self.chunk_elems)
         chunk_size = 8192 if self.exact else 16384
+        balign = 256 if mesh is None else max(256, 128 * mesh.devices.size)
         all_buckets = []
         for mask, wneu in ((active & ~is_neu_t, False),
                            (active & is_neu_t, True)):
             for bucket in dgrid.buckets(target_points, mask,
                                         chunk_size=chunk_size,
-                                        chunk_elems=chunk_elems):
+                                        chunk_elems=chunk_elems,
+                                        batch_align=balign):
                 bucket["with_neumann"] = wneu
                 all_buckets.append(bucket)
 
@@ -751,6 +874,8 @@ class GLSInterpolation:
             for grp in groups:
                 cat = (grp[0][1] if len(grp) == 1 else
                        jnp.concatenate([r for _, r in grp], axis=0))
+                if self.delivery_f32:
+                    cat = cat.astype(jnp.float32)
                 fetched.append((grp, np.asarray(cat)))
             for grp, host in fetched:
                 lo = 0
@@ -776,27 +901,38 @@ class GLSInterpolation:
                     if not bad.any():
                         continue
                     # Re-solve ill-conditioned stragglers exactly
-                    # (float64 Householder); typically a handful.
-                    nb = int(bad.sum())
-                    Bpad = max(256, int(-(-nb // 256) * 256))
-                    fb = {
-                        "nodes": np.zeros(Bpad, dtype=np.int32),
-                        "valid": np.zeros(Bpad, dtype=bool),
-                        "pos": np.full(Bpad, -1, dtype=np.int64),
-                        "E": bucket["E"], "F": bucket["F"],
-                        "with_neumann": bucket.get("with_neumann", True),
-                    }
-                    fb["nodes"][:nb] = bucket["nodes"][bad]
-                    fb["valid"][:nb] = True
-                    fb["pos"][:nb] = bucket["pos"][bad]
-                    w2, wn2, _ = run_bucket(fb, True)
-                    if device_out:
-                        wdev, _ = scatter_bucket(fb, w2, wn2, wdev)
-                    else:
-                        host = np.asarray(pad_rows(fb, w2, wn2))[:nb]
-                        bpos = fb["pos"][:nb]
-                        weights[bpos, :] = host[:, :ncols_out]
-                        neumann_ws[bpos] = host[:, ncols_out]
+                    # (float64 Householder); typically a handful.  Batch
+                    # shapes are canonical powers of two capped at 2048
+                    # so the (huge) exact-path executables come from a
+                    # small fixed set regardless of how many nodes
+                    # happened to fall back this run.
+                    bad_nodes = bucket["nodes"][bad]
+                    bad_pos = bucket["pos"][bad]
+                    fb_cap = max(2048, balign)
+                    for lo in range(0, len(bad_nodes), fb_cap):
+                        nb = min(fb_cap, len(bad_nodes) - lo)
+                        Bpad = balign
+                        while Bpad < nb:
+                            Bpad *= 2
+                        fb = {
+                            "nodes": np.zeros(Bpad, dtype=np.int32),
+                            "valid": np.zeros(Bpad, dtype=bool),
+                            "pos": np.full(Bpad, -1, dtype=np.int64),
+                            "E": bucket["E"], "F": bucket["F"],
+                            "with_neumann": bucket.get("with_neumann",
+                                                       True),
+                        }
+                        fb["nodes"][:nb] = bad_nodes[lo:lo + nb]
+                        fb["valid"][:nb] = True
+                        fb["pos"][:nb] = bad_pos[lo:lo + nb]
+                        w2, wn2, _ = run_bucket(fb, True)
+                        if device_out:
+                            wdev, _ = scatter_bucket(fb, w2, wn2, wdev)
+                        else:
+                            host = np.asarray(pad_rows(fb, w2, wn2))[:nb]
+                            fpos = fb["pos"][:nb]
+                            weights[fpos, :] = host[:, :ncols_out]
+                            neumann_ws[fpos] = host[:, ncols_out]
 
         if device_out:
             # device-resident result: (n_target, ncols+1) float64 of

@@ -20,9 +20,8 @@ import jax.numpy as jnp
 _EXACT_EPS = float(np.float32(1e-15))  # idw.pyx:53 (C float of 1e-15)
 
 
-@partial(jax.jit, static_argnames=("E", "dim"))
-def _idw_bucket_kernel(nodes, valid, esup2d, esup_cnt,
-                       point_coords, centroids, *, E, dim):
+def _idw_bucket_impl(nodes, valid, esup2d, esup_cnt,
+                     point_coords, centroids, *, E, dim):
     KSetv = esup2d[nodes, :E]
     n_elem = jnp.minimum(esup_cnt[nodes], E)
     cell_valid = (jnp.arange(E)[None, :] < n_elem[:, None]) & (KSetv >= 0)
@@ -45,47 +44,70 @@ def _idw_bucket_kernel(nodes, valid, esup2d, esup_cnt,
     return jnp.where(valid[:, None] & cell_valid, w, 0.0)
 
 
+_idw_bucket_kernel = partial(
+    jax.jit, static_argnames=("E", "dim"))(_idw_bucket_impl)
+
+
+def sharded_simple_kernel(impl, mesh, statics, n_rep, cache={}):
+    """jit(shard_map(impl)) with (nodes, valid) sharded over the mesh
+    axis and ``n_rep`` trailing grid arrays replicated — shared by the
+    IDW/LS drivers (see gls._gls_bucket_sharded for the GLS variant)."""
+    key = (impl, mesh, statics)
+    fn = cache.get(key)
+    if fn is None:
+        from jax.sharding import PartitionSpec as P
+        axis = mesh.axis_names[0]
+        nspec = P(axis)
+        fn = jax.jit(jax.shard_map(
+            partial(impl, **dict(statics)), mesh=mesh,
+            in_specs=(nspec, nspec) + (P(),) * n_rep,
+            out_specs=nspec))
+        cache[key] = fn
+    return fn
+
+
 class IDWInterpolation:
     """Driver matching the reference prepare() contract (idw.pyx:14-30)."""
 
     def __init__(self, logging=False):
         self.logging = logging
+        # f32 host delivery (documented non-parity knob): halves the
+        # device->host bytes on this environment's ~30 MB/s relay at the
+        # cost of ~1e-7 relative weight rounding.  Set through
+        # Interpolator.delivery_f32.
+        self.delivery_f32 = False
 
     def prepare(self, dgrid, cells_data, points_data, faces_data,
                 variable_to_index, variable, target_points,
-                weights, neumann_ws):
+                weights, neumann_ws, device_out=False):
         grid = dgrid.grid
         nf_idx = variable_to_index["points"]["neumann_flag_" + variable]
         neumann_flag = points_data[nf_idx].astype(np.int64)
 
+        from .device_grid import deliver_weights
         target_points = np.asarray(target_points)
         active = ~(grid.boundary_points[target_points].astype(bool)
                    & (neumann_flag[target_points] == 0))
 
+        mesh = getattr(dgrid, "mesh", None)
+        balign = 256 if mesh is None else max(256, 128 * mesh.devices.size)
         ncols_out = weights.shape[1]
         launched = []
         for bucket in dgrid.buckets(target_points, active,
-                                    need_faces=False, chunk_size=131072):
-            w = _idw_bucket_kernel(
-                bucket["nodes"], bucket["valid"],
-                dgrid.esup2d, dgrid.esup_cnt,
-                dgrid.point_coords, dgrid.centroids,
-                E=bucket["E"], dim=grid.dim)
+                                    need_faces=False, chunk_size=131072,
+                                    batch_align=balign):
+            args = (bucket["nodes"], bucket["valid"],
+                    dgrid.esup2d, dgrid.esup_cnt,
+                    dgrid.point_coords, dgrid.centroids)
+            if mesh is None:
+                w = _idw_bucket_kernel(*args, E=bucket["E"], dim=grid.dim)
+            else:
+                w = sharded_simple_kernel(
+                    _idw_bucket_impl, mesh,
+                    (("E", bucket["E"]), ("dim", grid.dim)), 4)(*args)
             ncols = min(bucket["E"], ncols_out)
             launched.append((bucket, jnp.pad(
                 w[:, :ncols], ((0, 0), (0, ncols_out - ncols)))))
-        if not launched:
-            return weights, neumann_ws
-        # one consolidated fetch (the host link has ~70 ms latency per
-        # transfer; see methods/gls.py)
-        host = np.asarray(jnp.concatenate([w for _, w in launched], axis=0)
-                          if len(launched) > 1 else launched[0][1])
-        lo = 0
-        for bucket, w in launched:
-            nb = w.shape[0]
-            sel = bucket["valid"]
-            pos = bucket["pos"][sel]
-            weights[pos, :] = host[lo:lo + nb][sel]
-            lo += nb
-        # IDW never writes neumann_ws (idw.pyx has no neumann output).
-        return weights, neumann_ws
+        return deliver_weights(launched, weights, neumann_ws,
+                               len(target_points), device_out,
+                               self.delivery_f32)

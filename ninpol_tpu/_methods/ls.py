@@ -25,9 +25,8 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("E",))
-def _ls_bucket_kernel(nodes, valid, esup2d, esup_cnt,
-                      point_coords, centroids, *, E):
+def _ls_bucket_impl(nodes, valid, esup2d, esup_cnt,
+                    point_coords, centroids, *, E):
     KSetv = esup2d[nodes, :E]
     n_elem = jnp.minimum(esup_cnt[nodes], E)
     cell_valid = (jnp.arange(E)[None, :] < n_elem[:, None]) & (KSetv >= 0)
@@ -89,15 +88,21 @@ def _ls_bucket_kernel(nodes, valid, esup2d, esup_cnt,
     return jnp.where(valid[:, None] & cell_valid, w, 0.0)
 
 
+_ls_bucket_kernel = partial(jax.jit, static_argnames=("E",))(_ls_bucket_impl)
+
+
 class LSInterpolation:
     """Driver matching the reference prepare() contract (ls.pyx:21-31)."""
 
     def __init__(self, logging=False):
         self.logging = logging
+        # see IDWInterpolation.delivery_f32
+        self.delivery_f32 = False
 
     def prepare(self, dgrid, cells_data, points_data, faces_data,
                 variable_to_index, variable, target_points,
-                weights, neumann_ws):
+                weights, neumann_ws, device_out=False):
+        from .device_grid import deliver_weights
         grid = dgrid.grid
         nf_idx = variable_to_index["points"]["neumann_flag_" + variable]
         neumann_flag = points_data[nf_idx].astype(np.int64)
@@ -106,28 +111,25 @@ class LSInterpolation:
         active = ~(grid.boundary_points[target_points].astype(bool)
                    & (neumann_flag[target_points] == 0))
 
+        mesh = getattr(dgrid, "mesh", None)
+        balign = 256 if mesh is None else max(256, 128 * mesh.devices.size)
         ncols_out = weights.shape[1]
         launched = []
         for bucket in dgrid.buckets(target_points, active,
-                                    need_faces=False, chunk_size=131072):
-            w = _ls_bucket_kernel(
-                bucket["nodes"], bucket["valid"],
-                dgrid.esup2d, dgrid.esup_cnt,
-                dgrid.point_coords, dgrid.centroids,
-                E=bucket["E"])
+                                    need_faces=False, chunk_size=131072,
+                                    batch_align=balign):
+            args = (bucket["nodes"], bucket["valid"],
+                    dgrid.esup2d, dgrid.esup_cnt,
+                    dgrid.point_coords, dgrid.centroids)
+            if mesh is None:
+                w = _ls_bucket_kernel(*args, E=bucket["E"])
+            else:
+                from .idw import sharded_simple_kernel
+                w = sharded_simple_kernel(
+                    _ls_bucket_impl, mesh, (("E", bucket["E"]),), 4)(*args)
             ncols = min(bucket["E"], ncols_out)
             launched.append((bucket, jnp.pad(
                 w[:, :ncols], ((0, 0), (0, ncols_out - ncols)))))
-        if not launched:
-            return weights, neumann_ws
-        # one consolidated fetch (~70 ms latency per transfer otherwise)
-        host = np.asarray(jnp.concatenate([w for _, w in launched], axis=0)
-                          if len(launched) > 1 else launched[0][1])
-        lo = 0
-        for bucket, w in launched:
-            nb = w.shape[0]
-            sel = bucket["valid"]
-            pos = bucket["pos"][sel]
-            weights[pos, :] = host[lo:lo + nb][sel]
-            lo += nb
-        return weights, neumann_ws
+        return deliver_weights(launched, weights, neumann_ws,
+                               len(target_points), device_out,
+                               self.delivery_f32)

@@ -50,11 +50,22 @@ from .utils.logger import Logger
 
 class Interpolator:
 
-    def __init__(self, name="interpolator", logging=False, build_edges=False):
+    def __init__(self, name="interpolator", logging=False, build_edges=False,
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh (or device count) — every
+        interpolation then runs sharded over the mesh's devices through
+        jax.shard_map (node axis partitioned, grid arrays replicated).
+        The multi-chip analogue of the reference's OpenMP threading
+        (SURVEY §2.3); pass e.g. ``mesh=8`` or a Mesh built by
+        ninpol_tpu.parallel.sharding.make_mesh."""
         self.is_grid_initialized = False
         self.build_edges = build_edges
         self.logging = logging
         self.logger = Logger(name, logging=logging)
+        if isinstance(mesh, int):
+            from .parallel.sharding import make_mesh
+            mesh = make_mesh(mesh)
+        self.mesh = mesh
 
         self.gls = GLSInterpolation(logging)
         self.idw = IDWInterpolation(logging)
@@ -91,6 +102,12 @@ class Interpolator:
         # method-level device caches (id() of numpy arrays is unsafe —
         # CPython reuses addresses after GC)
         self._data_version = 0
+        # f32 host delivery (documented NON-PARITY knob): weights are
+        # fetched from the device as float32, halving the device->host
+        # bytes (this environment's relay runs at ~30 MB/s) at the cost
+        # of ~1e-7 relative rounding in the returned weights.  The
+        # reference contract (<=1e-10 parity) requires the default False.
+        self.delivery_f32 = False
         self.CACHE_PATH = tempfile.gettempdir()
 
     # ------------------------------------------------------------------
@@ -370,7 +387,7 @@ class Interpolator:
     @property
     def device_grid(self):
         if self._device_grid is None:
-            self._device_grid = DeviceGrid(self.grid)
+            self._device_grid = DeviceGrid(self.grid, mesh=self.mesh)
         return self._device_grid
 
     def interpolate(self, variable, method, target_points=None):
@@ -404,7 +421,8 @@ class Interpolator:
         tp_key = (method, variable, len(target_points),
                   hash(target_points.tobytes()),
                   self.gls.exact, self.gls.solver, self.gls.neumann_compat,
-                  self.gls.n_refine, self.gls.fallback_tol)
+                  self.gls.n_refine, self.gls.fallback_tol,
+                  self.delivery_f32)
         if tp_key in self._prep_cache:
             weights, neumann_ws = self._prep_cache[tp_key]
         else:
@@ -455,11 +473,11 @@ class Interpolator:
         Default: fills and returns host arrays (weights, neumann_ws) —
         the reference contract (interpolator.pyx:631-670).
 
-        device_out=True (gls only): returns the consolidated
+        device_out=True (all methods): returns the consolidated
         DEVICE-resident (n_target, n_cols+1) float64 array
         [weights | neumann_w] without the device->host transfer — for
-        on-device consumers and for benchmarking compute separately from
-        this environment's slow host link.
+        on-device consumers (e.g. an MPFA assembly) and for benchmarking
+        compute separately from this environment's slow host link.
         """
         n_target = len(target_points)
         n_columns = self.grid.MX_ELEMENTS_PER_POINT
@@ -469,12 +487,14 @@ class Interpolator:
         t0 = time.perf_counter()
         kwargs = {}
         if device_out:
-            if method != "gls":
-                raise ValueError("device_out is only supported for 'gls'")
             kwargs["device_out"] = True
         # content/version stamp for the GLS device face cache (replaces
         # the unsafe id()-based key; see GLSInterpolation.prepare)
         self.gls._data_token = self._data_version
+        # propagate the delivery knob to the method drivers
+        self.gls.delivery_f32 = self.delivery_f32
+        self.idw.delivery_f32 = self.delivery_f32
+        self.ls.delivery_f32 = self.delivery_f32
 
         def _run():
             return self.supported_methods[method](

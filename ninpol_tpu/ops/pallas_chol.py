@@ -17,8 +17,12 @@ Hard-won facts this design encodes (measured on this chip):
   * statically unrolled python loops over pivots/columns beat
     grid-dimension sequential steps ~2x (and Mosaic here cannot
     legalize lax loops in kernels anyway);
-  * the Cholesky never reads the upper triangle, so the Gram pass
-    writes only the lower half (_gram_lower_into).
+  * sublane-offset slices cost relayout work — the working width is
+    padded to a sublane multiple (n_pad) and every heavy pass runs on
+    8-aligned slabs: 8-column Gram slabs (_gram_cols_into), 8-wide
+    Cholesky panels (_chol_panels), 8-row blocked inverse rows
+    (_linv_rows), 8-column Q accumulation (_form_q), each sharing one
+    read of its large operand across the 8 lanes of work.
 
 Float32 suffices for the preconditioner because CholQR2's residual is
 ~eps32*sqrt(m) independent of cond(A); the df32 sweeps restore
@@ -124,11 +128,111 @@ def round2_gram_f32(A, Li):
 # Fully fused GLS solve: assembly + shifted CholQR2 + df32 refinement
 # sweeps + weight extraction, one VMEM-resident pass per node tile
 # ---------------------------------------------------------------------------
+def _iota_eq(shape, axis, k):
+    return (jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+            == k).astype(_F32)
+
+
+def _gram_cols_into(a, gscr, n_pad, diag_vec):
+    """gscr[j] (COLUMN plane j) <- column j of A^T A (+ diag_vec on the
+    diagonal), in 8-column slabs sharing ONE read of the trailing column
+    block.  n_pad is a sublane multiple, so every slab slice is aligned
+    (the per-column sublane-offset slices of the previous design were
+    the measured hot spot).  Entries at rows j0..j-1 of column j are
+    upper-triangle extras the Cholesky never reads.
+
+    a: (m, n_pad, NT) value; gscr: (n_pad, n_pad, NT) ref with
+    gscr[c, r, :] = G[r, c]."""
+    for j0 in range(0, n_pad, 8):
+        sl = a[:, j0:, :]                              # (m, n_pad-j0, NT)
+        for c in range(8):
+            j = j0 + c
+            col = jnp.sum(sl * sl[:, c:c + 1, :], axis=0)
+            first = _iota_eq((n_pad - j0, NT), 0, c)
+            gscr[j, j0:, :] = col + first * diag_vec[j][None, :]
+
+
+def _chol_panels(gscr, n_pad, tiny):
+    """Blocked (8-wide panel) Cholesky of G stored by COLUMN planes:
+    gscr[c, r, :] = G[r, c] on entry, L[r, c] on exit (entries above the
+    diagonal are garbage).  All eight pivots of a panel share ONE pass
+    over the trailing submatrix (1/4 the trailing-update VMEM traffic of
+    rank-2 blocking), and both trailing slices are sublane-aligned.
+
+    Returns the per-pivot inverse diagonals dinv[k] (each (NT,)) — this
+    IS diag(L^{-1}), used for breakdown detection (a clamped pivot shows
+    up as dinv ~ 1/sqrt(tiny)) and by the row solver."""
+    dinvs = []
+    for k0 in range(0, n_pad, 8):
+        pan = gscr[k0:k0 + 8, :, :]                    # (8, n_pad, NT)
+        cols = []
+        for c in range(8):
+            colc = pan[c]                              # (n_pad, NT)
+            for p in range(c):
+                lkp = cols[p][k0 + c, :]               # L[k0+c, k0+p]
+                colc = colc - cols[p] * lkp[None, :]
+            piv = colc[k0 + c, :]
+            dinv = jax.lax.rsqrt(jnp.maximum(piv, _F32(tiny)))
+            colc = colc * dinv[None, :]
+            dinvs.append(dinv)
+            cols.append(colc)
+            gscr[k0 + c, :, :] = colc
+        if k0 + 8 < n_pad:
+            tr = gscr[k0 + 8:, k0 + 8:, :]
+            for c in range(8):
+                t = cols[c][k0 + 8:, :]
+                tr = tr - t[:, None, :] * t[None, :, :]
+            gscr[k0 + 8:, k0 + 8:, :] = tr
+    return dinvs
+
+
+def _linv_rows(gscr, li_scr, n_pad, dinvs, mul=None):
+    """li_scr[k] (ROW plane k) <- row k of L^{-1} (or of L^{-1} @ mul,
+    with ``mul`` a value holding row planes).  Each 8-row block folds in
+    all prior blocks through one streamed pass over the already-written
+    rows, then resolves the in-block couplings sequentially.  L is read
+    from gscr column planes (as left by _chol_panels).
+
+    Rows are exactly zero right of the diagonal by construction (the
+    one-hot base and the triangular ``mul`` rows guarantee it), which
+    _form_q exploits."""
+    for k0 in range(0, n_pad, 8):
+        acc = jnp.zeros((8, n_pad, NT), _F32)
+        if k0:
+            lrB = gscr[:k0, k0:k0 + 8, :]              # (k0, 8, NT)
+            for j in range(k0):
+                acc = acc + lrB[j][:, None, :] * li_scr[j][None, :, :]
+        rows = []
+        for c in range(8):
+            k = k0 + c
+            base = (mul[k] if mul is not None
+                    else _iota_eq((n_pad, NT), 0, k))
+            s = acc[c]
+            for p in range(c):
+                lkp = gscr[k0 + p, k, :]               # L[k, k0+p]
+                s = s + rows[p] * lkp[None, :]
+            row = (base - s) * dinvs[k][None, :]
+            rows.append(row)
+            li_scr[k, :, :] = row
+
+
+def _form_q(a, li1, q_scr, m, n_pad):
+    """q_scr <- A @ Li1^T: eight output columns per pass share the
+    stream over A's columns (the previous per-column form re-read all of
+    A once per output column — the kernel's largest VMEM traffic)."""
+    for i0 in range(0, n_pad, 8):
+        acc = jnp.zeros((m, 8, NT), _F32)
+        for j in range(min(i0 + 8, n_pad)):            # Li1 is triangular
+            acc = acc + (a[:, j:j + 1, :]
+                         * li1[i0:i0 + 8, j, :][None, :, :])
+        q_scr[:, i0:i0 + 8, :] = acc
+
+
 def _solve_kernel(dkh, dkl, l1h, l1l, l2h, l2l, t1h, t1l, tth, ttl,
                   lbh, lbl, ij1, ij2, ikb, cv, af, nmh, nml,
                   wh_ref, wl_ref, wnh_ref, wnl_ref, rn_ref,
-                  a_scr, g_scr, li_scr,
-                  *, E, F, n, m, sweeps, with_neumann, tiny, shift):
+                  a_scr, q_scr, g_scr, li_scr,
+                  *, E, F, n, n_pad, m, sweeps, with_neumann, tiny, shift):
     from . import df32 as dd
 
     iota_e = jax.lax.broadcasted_iota(jnp.int32, (F, E, NT), 1)
@@ -141,8 +245,9 @@ def _solve_kernel(dkh, dkl, l1h, l1l, l2h, l2l, t1h, t1l, tth, ttl,
     af0 = af[0]                                      # (1, NT)
     msk = cv0 * af0                                  # (E, NT)
 
-    # ---- assemble A (hi parts) in VMEM, permuted basis [x|y|z|const]
-    a_scr[:] = jnp.zeros((m, n, NT), _F32)
+    # ---- assemble A (hi parts) in VMEM, permuted basis [x|y|z|const];
+    # columns n..n_pad are zero padding (dead, decoupled by deadm below)
+    a_scr[:] = jnp.zeros((m, n_pad, NT), _F32)
     eyeE = (jax.lax.broadcasted_iota(jnp.int32, (E, E), 0)
             == jax.lax.broadcasted_iota(jnp.int32, (E, E), 1)).astype(_F32)
     for c in range(3):
@@ -160,38 +265,35 @@ def _solve_kernel(dkh, dkl, l1h, l1l, l2h, l2l, t1h, t1l, tth, ttl,
                 -Sb * lbh[0][:, c, :][:, None, :])
     a_scr[0:E, 3 * E:3 * E + 1, :] = cv0[:, None, :]
 
-    # ---- shifted CholQR2 preconditioner (see _precond_kernel)
+    # ---- shifted CholQR2 preconditioner
     a = a_scr[:]
     d2 = jnp.sum(a * a, axis=0)
     deadm = (d2 == 0).astype(_F32)
     D = jax.lax.rsqrt(jnp.where(d2 == 0, _F32(1), d2)) * (1 - deadm)
     a = a * D[None, :, :]
-    _gram_lower_into(a, g_scr, n, deadm + _F32(shift))
-    _chol_inplace(g_scr, li_scr, n, tiny)
+    _gram_cols_into(a, g_scr, n_pad, deadm + _F32(shift))
+    dinv1 = _chol_panels(g_scr, n_pad, tiny)
+    _linv_rows(g_scr, li_scr, n_pad, dinv1)
     li1 = li_scr[:]
-    # breakdown detection must look at BOTH rounds separately:
-    # diag(Lc) = diag(Li2)*diag(Li1) can cancel a huge round-1 diagonal
-    # (clamped pivot) against a tiny round-2 one, hiding the breakdown
-    # from a max over the combined factor alone.
-    dmax = jnp.zeros((NT,), _F32)
-    for k in range(n):
-        dmax = jnp.maximum(dmax, jnp.abs(li1[k, k, :]))
-    q_cols = []
-    for i in range(n):
-        q_cols.append(jnp.sum(a * li1[i][None, :, :], axis=1))
-    q = jnp.stack(q_cols, axis=1)
-    _gram_lower_into(q, g_scr, n, deadm)
+    _form_q(a, li1, q_scr, m, n_pad)
+    _gram_cols_into(q_scr[:], g_scr, n_pad, deadm)
     # Lc = L2^{-1} @ Li1 (fused via mul=li1): M r = Lc^T (Lc r).
-    _chol_inplace(g_scr, li_scr, n, tiny, mul=li1)
-    for k in range(n):
-        dmax = jnp.maximum(dmax, jnp.abs(li_scr[k, k, :]))
+    dinv2 = _chol_panels(g_scr, n_pad, tiny)
+    _linv_rows(g_scr, li_scr, n_pad, dinv2, mul=li1)
     lc = li_scr[:]
+    # breakdown detection looks at BOTH rounds: diag(Li1) = dinv1 and
+    # diag(Lc) = dinv1*dinv2 — a clamped round-1 pivot could cancel
+    # against a tiny round-2 diagonal in the combined factor alone.
+    dmax = jnp.zeros((NT,), _F32)
+    for k in range(n_pad):
+        dmax = jnp.maximum(dmax, dinv1[k])
+        dmax = jnp.maximum(dmax, dinv1[k] * dinv2[k])
 
     def Mapply(rh, rl):
         v = (rh + rl) * D
         w1 = jnp.sum(lc * v[None, :, :], axis=1)
         w2 = jnp.sum(lc * w1[:, None, :], axis=0)
-        return w2 * D, jnp.zeros((n, NT), _F32)
+        return w2 * D, jnp.zeros((n_pad, NT), _F32)
 
     # ---- df32 structured operator (permuted basis: component blocks
     # are static slices)
@@ -264,13 +366,13 @@ def _solve_kernel(dkh, dkl, l1h, l1l, l2h, l2l, t1h, t1l, tth, ttl,
             blocks_h.append(out[0])
             blocks_l.append(out[1])
         oc = dd.tree_sum(tc, axis=0)                    # (NT,)
-        gh = jnp.concatenate(blocks_h + [oc[0][None, :]], axis=0)
-        gl = jnp.concatenate(blocks_l + [oc[1][None, :]], axis=0)
+        zpad = [jnp.zeros((n_pad - n, NT), _F32)]       # padding rows
+        gh = jnp.concatenate(blocks_h + [oc[0][None, :]] + zpad, axis=0)
+        gl = jnp.concatenate(blocks_l + [oc[1][None, :]] + zpad, axis=0)
         return gh, gl
 
     # ---- solve: y0 = M b, then df32 residual sweeps
-    bh = (jax.lax.broadcasted_iota(jnp.int32, (n, NT), 0)
-          == (n - 1)).astype(_F32)
+    bh = _iota_eq((n_pad, NT), 0, n - 1)
     yh, yl = Mapply(bh, jnp.zeros_like(bh))
     dyh = yh
     for _ in range(sweeps):
@@ -318,9 +420,10 @@ def gls_solve_fused(dKv_h, dKv_l, nL1_h, nL1_l, nL2_h, nL2_l,
     G, E, _, _ = dKv_h.shape
     F = nL1_h.shape[1]
     n = 3 * E + 1
+    n_pad = -(-n // 8) * 8          # sublane-aligned working width
     m = E + (4 if with_neumann else 3) * F
-    kern = functools.partial(_solve_kernel, E=E, F=F, n=n, m=m,
-                             sweeps=sweeps, with_neumann=with_neumann,
+    kern = functools.partial(_solve_kernel, E=E, F=F, n=n, n_pad=n_pad,
+                             m=m, sweeps=sweeps, with_neumann=with_neumann,
                              tiny=tiny, shift=shift)
     sp = lambda *dims: pl.BlockSpec(
         (1,) + dims, lambda i: (i,) + (i * 0,) * len(dims),
@@ -339,9 +442,10 @@ def gls_solve_fused(dKv_h, dKv_l, nL1_h, nL1_l, nL2_h, nL2_l,
                    jax.ShapeDtypeStruct((G, 1, NT), _F32),
                    jax.ShapeDtypeStruct((G, 1, NT), _F32),
                    jax.ShapeDtypeStruct((G, 1, NT), _F32)],
-        scratch_shapes=[pltpu.VMEM((m, n, NT), _F32),
-                        pltpu.VMEM((n, n, NT), _F32),
-                        pltpu.VMEM((n, n, NT), _F32)],
+        scratch_shapes=[pltpu.VMEM((m, n_pad, NT), _F32),
+                        pltpu.VMEM((m, n_pad, NT), _F32),
+                        pltpu.VMEM((n_pad, n_pad, NT), _F32),
+                        pltpu.VMEM((n_pad, n_pad, NT), _F32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_VMEM_LIMIT,
@@ -350,79 +454,6 @@ def gls_solve_fused(dKv_h, dKv_l, nL1_h, nL1_l, nL2_h, nL2_l,
     )(dKv_h, dKv_l, nL1_h, nL1_l, nL2_h, nL2_l, T1_h, T1_l,
       tau_h, tau_l, nLb_h, nLb_l, Ij1, Ij2, Ikb, cv, af,
       nmean_h, nmean_l)
-
-
-# ---------------------------------------------------------------------------
-# Single-pass CholQR2 preconditioner build, "VPU layout" end to end
-# ---------------------------------------------------------------------------
-def _gram_T(a, n):
-    """A^T A for (m, n, NT)-layout a -> (n, n, NT), unrolled over j."""
-    cols = []
-    for j in range(n):
-        cols.append(jnp.sum(a * a[:, j:j + 1, :], axis=0))   # (n, NT)
-    return jnp.stack(cols, axis=1)                            # (n, n, NT)
-
-
-def _gram_lower_into(a, gscr, n, diag_vec):
-    """Write the LOWER triangle of A^T A (+ diag_vec on the diagonal)
-    into gscr.  The Cholesky below never reads the upper triangle, so
-    leaving stale scratch there is safe and saves half the Gram FMAs."""
-    for j in range(n):
-        col = jnp.sum(a[:, j:, :] * a[:, j:j + 1, :], axis=0)  # (n-j, NT)
-        first = (jax.lax.broadcasted_iota(jnp.int32, (n - j, NT), 0)
-                 == 0).astype(_F32)
-        gscr[j:, j, :] = col + first * diag_vec[j][None, :]
-
-
-def _chol_inplace(gscr, liscr, n, tiny, mul=None):
-    """Unrolled Cholesky of gscr (n, n, NT) in place; liscr <- L^{-1}
-    (or L^{-1} @ mul rows if mul given).
-
-    RANK-2 pivot blocking: two pivots per iteration share ONE pass over
-    the trailing submatrix — the slice read+write of that block is the
-    dominant per-step cost, so this halves the factorization's VMEM
-    traffic."""
-    def ebase(k):
-        if mul is None:
-            return (jax.lax.broadcasted_iota(jnp.int32, (n, NT), 0)
-                    == k).astype(_F32)
-        return mul[k, :, :]
-
-    def li_row(k, dinv):
-        base = ebase(k)
-        if k == 0:
-            liscr[0, :, :] = base * dinv
-        else:
-            lrow = gscr[k, :k, :]
-            s = jnp.sum(lrow[:, None, :] * liscr[:k, :, :], axis=0)
-            liscr[k, :, :] = (base - s) * dinv
-
-    k = 0
-    while k < n:
-        if k + 1 < n:
-            g11 = gscr[k, k, :][None]
-            d1 = jax.lax.rsqrt(jnp.maximum(g11, _F32(tiny)))
-            l21 = gscr[k + 1, k, :][None] * d1
-            gscr[k + 1, k, :] = l21[0]
-            s22 = gscr[k + 1, k + 1, :][None] - l21 * l21
-            d2i = jax.lax.rsqrt(jnp.maximum(s22, _F32(tiny)))
-            if k + 2 < n:
-                c1 = gscr[k + 2:, k, :] * d1
-                c2 = (gscr[k + 2:, k + 1, :] - c1 * l21) * d2i
-                gscr[k + 2:, k, :] = c1
-                gscr[k + 2:, k + 1, :] = c2
-                gscr[k + 2:, k + 2:, :] = (
-                    gscr[k + 2:, k + 2:, :]
-                    - c1[:, None, :] * c1[None, :, :]
-                    - c2[:, None, :] * c2[None, :, :])
-            li_row(k, d1)
-            li_row(k + 1, d2i)
-            k += 2
-        else:
-            g11 = gscr[k, k, :][None]
-            d1 = jax.lax.rsqrt(jnp.maximum(g11, _F32(tiny)))
-            li_row(k, d1)
-            k += 1
 
 
 def _prec_apply_kernel(lc_ref, v_ref, o_ref, *, n):

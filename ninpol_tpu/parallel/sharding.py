@@ -77,23 +77,39 @@ def sharded_gls(dgrid, mesh, shard_geometry=False, axis="nodes"):
             arr = np.pad(arr, widths)
         return jax.device_put(arr, geo_sh)
 
+    def _sp(a):
+        """Exact hi/lo float32 split (the kernel consumes pair-split
+        geometry; hi + lo reconstructs the float64 bit-exactly)."""
+        a = np.asarray(a, np.float64)
+        h = a.astype(np.float32)
+        return h, (a - h.astype(np.float64)).astype(np.float32)
+
     def run(bucket, perm, diff_mag, neumann_flag, neumann_val,
             n_refine=3, exact=False, neumann_compat=True,
             with_neumann=True):
         nL1g, nL2g, etag, nLbg = precompute_face_data(
             dgrid.grid, np.asarray(perm), np.asarray(diff_mag))
         put = _put_geo
+
+        def put_pair(a):
+            h, l = _sp(a)
+            return put(h), put(l)
+
         args = (
             jax.device_put(bucket["nodes"], node_sh),
             jax.device_put(bucket["valid"], node_sh),
             put(dgrid.esup2d), put(dgrid.esup_cnt),
             put(dgrid.fsup2d), put(dgrid.fsup_cnt),
             put(dgrid.esuf2d),
-            put(dgrid.point_coords), put(dgrid.centroids),
-            put(dgrid.normal_faces), put(dgrid.faces_centers),
+            *put_pair(dgrid.grid.point_coords),
+            *put_pair(dgrid.grid.centroids),
+            *put_pair(dgrid.grid.normal_faces),
+            *put_pair(dgrid.grid.faces_centers),
             put(dgrid.boundary_faces), put(dgrid.inpofa),
-            put(nL1g), put(nL2g), put(etag), put(nLbg),
-            put(neumann_flag), put(neumann_val),
+            *put_pair(nL1g), *put_pair(nL2g), *put_pair(etag),
+            *put_pair(nLbg),
+            put(np.asarray(neumann_flag)),
+            *put_pair(np.asarray(neumann_val)),
         )
         with mesh:
             return _gls_bucket_kernel(

@@ -212,8 +212,14 @@ def test_device_out_matches_host():
     assert dev.shape == (len(tp), W.shape[1] + 1)
     assert np.abs(dev[:, :W.shape[1]] - W).max() < 1e-12
     assert np.abs(dev[:, W.shape[1]] - NW).max() < 1e-12
-    with pytest.raises(ValueError):
-        interp.prepare_interpolator("idw", case.name, tp, device_out=True)
+    # idw/ls gained device_out in round 3 (VERDICT r2 #3): the neumann
+    # column is zero (idw.pyx/ls.pyx never write it)
+    for m in ("idw", "ls"):
+        Wm, _ = interp.prepare_interpolator(m, case.name, tp)
+        dm = np.asarray(interp.prepare_interpolator(m, case.name, tp,
+                                                    device_out=True))
+        assert np.abs(dm[:, :Wm.shape[1]] - Wm).max() == 0.0
+        assert np.abs(dm[:, Wm.shape[1]]).max() == 0.0
 
 
 def test_load_face_data():

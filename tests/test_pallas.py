@@ -90,3 +90,42 @@ def test_gls_pallas_solver_matches_oracle():
         return_cond=True)
     ok = cond < 1e7
     assert np.abs(W[ok] - Wo[ok]).max() < 1e-10
+
+
+def test_gls_fused_kernel_matches_oracle():
+    """Run the production fused Pallas solve (gls_solve_fused) in
+    interpret mode on CPU against the dgels oracle — covers the TPU
+    fast path (df32 prologue + in-kernel CholQR2/refinement) without
+    hardware.  Tolerance is slightly loose for interpreter drift."""
+    from ninpol_tpu.interpolator import Interpolator
+    from ninpol_tpu._methods import gls as gls_mod
+    from ninpol_tpu.ops import pallas_chol
+    from ninpol_tpu.utils import meshgen
+    from tests.utils.cases import ALHCase
+    from tests.utils.oracle import gls_oracle
+
+    old_i, old_f = pallas_chol.INTERPRET, gls_mod._FORCE_FUSED
+    pallas_chol.INTERPRET = True
+    gls_mod._FORCE_FUSED = True
+    try:
+        case = ALHCase()
+        case.assign_mesh_properties(meshgen.tetra_mesh(3), seed=0)
+        interp = Interpolator()
+        interp.load_mesh(mesh_obj=case.mesh)
+        tp = np.arange(interp.grid.n_points)
+        W, NW = interp.prepare_interpolator("gls", case.name, tp)
+        v2i = interp.variable_to_index
+        Wo, NWo, cond = gls_oracle(
+            interp.grid, tp,
+            interp.cells_data[v2i["cells"]["permeability"]],
+            interp.cells_data[v2i["cells"]["diff_mag"]],
+            interp.points_data[
+                v2i["points"][f"neumann_flag_{case.name}"]].astype(int),
+            interp.points_data[v2i["points"][f"neumann_{case.name}"]],
+            return_cond=True)
+        ok = cond < 1e7
+        assert np.abs(W[ok] - Wo[ok]).max() < 1e-9
+        assert np.abs(NW[ok] - NWo[ok]).max() < 1e-9
+    finally:
+        pallas_chol.INTERPRET = old_i
+        gls_mod._FORCE_FUSED = old_f

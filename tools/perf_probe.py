@@ -1,0 +1,231 @@
+"""TPU perf probe: split GLS chunk time into fused-kernel vs XLA glue.
+
+Runs on the real TPU (axon).  Two measurements:
+  1. end-to-end device-complete prepare_interpolator on a tet mesh
+     (NINPOL_PROBE_N, default 40 -> 384k cells, 68,921 points);
+  2. the fused Pallas kernel alone (gls_solve_fused) on synthetic tiles
+     at the same (E, F, B) as the mesh's main interior bucket.
+
+The difference is the XLA prologue (gathers, df32 pieces, tiling) +
+dispatch overheads.  Usage:  python tools/perf_probe.py [--kernel-only]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def sync(x):
+    return np.asarray(x)
+
+
+def time_dispatches(fn, sync_out, k=5):
+    """Enqueue k dispatches, sync once via a dependent fetch of the last
+    output (block_until_ready lies through this tunnel)."""
+    outs = None
+    t0 = time.perf_counter()
+    for _ in range(k):
+        outs = fn()
+    sync(sync_out(outs))
+    return (time.perf_counter() - t0) / k
+
+
+def probe_kernel(E, F, B, with_neumann=False, sweeps=3):
+    import jax
+    import jax.numpy as jnp
+    from ninpol_tpu.ops.pallas_chol import NT, gls_solve_fused as _gsf
+
+    # jit-wrap: untraced calls re-trace the huge unrolled kernel jaxpr
+    # on the host every time (seconds of pure python)
+    gls_solve_fused = jax.jit(_gsf, static_argnames=("with_neumann",
+                                                     "sweeps"))
+
+    G = B // NT
+    rng = np.random.default_rng(0)
+    f32 = jnp.float32
+
+    def pair3(K):
+        return (jnp.asarray(rng.standard_normal((G, K, 3, NT)), f32),
+                jnp.zeros((G, K, 3, NT), f32))
+
+    def pair2(K):
+        return (jnp.asarray(
+            np.abs(rng.standard_normal((G, K, NT))) + 0.1, f32),
+            jnp.zeros((G, K, NT), f32))
+
+    dKv = pair3(E)
+    nL1, nL2, T1, tau, nLb = (pair3(F) for _ in range(5))
+    ij1 = jnp.asarray(rng.integers(0, E, (G, F, NT)), jnp.int32)
+    ij2 = jnp.asarray(rng.integers(0, E, (G, F, NT)), jnp.int32)
+    ikb = jnp.zeros((G, F, NT), jnp.int32)
+    cv = jnp.ones((G, E, NT), f32)
+    af = jnp.ones((G, 1, NT), f32)
+    nm = pair2(F)
+
+    def run():
+        return gls_solve_fused(dKv[0], dKv[1], nL1[0], nL1[1],
+                               nL2[0], nL2[1], T1[0], T1[1],
+                               tau[0], tau[1], nLb[0], nLb[1],
+                               ij1, ij2, ikb, cv, af, nm[0], nm[1],
+                               with_neumann, sweeps=sweeps)
+
+    t0 = time.perf_counter()
+    out = run()
+    sync(out[0][:1, :1, :1])
+    print(f"  kernel (E={E},F={F},B={B},neu={with_neumann},"
+          f"sweeps={sweeps}): first call {time.perf_counter()-t0:.1f}s",
+          flush=True)
+    dt = time_dispatches(run, lambda o: o[0][:1, :1, :1])
+    print(f"  kernel steady: {dt*1e3:.1f} ms/chunk = "
+          f"{dt/B*1e9:.0f} ns/node -> {B/dt/1e6:.3f} Mnodes/s", flush=True)
+    return dt
+
+
+def main():
+    import ninpol_tpu  # noqa: F401  (x64 + compile cache)
+    kernel_only = "--kernel-only" in sys.argv
+
+    if not kernel_only:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+        from bench import build_problem
+        n = int(os.environ.get("NINPOL_PROBE_N", "40"))
+        interp, build_time = build_problem(n)
+        grid = interp.grid
+        print(f"mesh n={n}: {grid.n_elems} cells {grid.n_points} pts "
+              f"build {build_time:.2f}s", flush=True)
+        tp = np.arange(grid.n_points)
+        t0 = time.perf_counter()
+        wdev = interp.prepare_interpolator("gls", "u", tp, device_out=True)
+        sync(wdev[-1:, -1:])
+        print(f"first prepare (compile/cache-load): "
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            wdev = interp.prepare_interpolator("gls", "u", tp,
+                                               device_out=True)
+            sync(wdev[-1:, -1:])
+            dt = time.perf_counter() - t0
+            print(f"device-complete: {dt:.3f}s = "
+                  f"{dt/grid.n_points*1e9:.0f} ns/node "
+                  f"({grid.n_points/dt/1e6:.3f} Mnodes/s)", flush=True)
+        # bucket census
+        dg = interp.device_grid
+        act = ~grid.boundary_points.astype(bool)
+        shapes = {}
+        for b in dg.buckets(tp, act, chunk_size=16384,
+                            chunk_elems=interp.gls.chunk_elems):
+            k = (b["E"], b["F"], len(b["pos"]))
+            shapes[k] = shapes.get(k, 0) + 1
+        print("interior bucket shapes:", shapes, flush=True)
+        E, F, B = max(shapes, key=shapes.get)
+
+        # full bucket kernel (prologue + fused solve) on one real chunk
+        import jax.numpy as jnp
+        from ninpol_tpu._methods.gls import _gls_bucket_kernel
+        fc = interp.gls._face_cache
+        bucket = next(b for b in dg.buckets(
+            tp, act, chunk_size=16384,
+            chunk_elems=interp.gls.chunk_elems)
+            if (b["E"], b["F"], len(b["pos"])) == (E, F, B))
+        args = (jnp.asarray(bucket["nodes"]), jnp.asarray(bucket["valid"]),
+                dg.esup2d, dg.esup_cnt, dg.fsup2d, dg.fsup_cnt, dg.esuf2d,
+                dg.pc_h, dg.pc_l, dg.cen_h, dg.cen_l,
+                dg.nrm_h, dg.nrm_l, dg.fcc_h, dg.fcc_l,
+                dg.boundary_faces, dg.inpofa, *fc)
+
+        def full_chunk():
+            return _gls_bucket_kernel(
+                *args, E=E, F=F, n_refine=2, exact=False,
+                neumann_compat=True, with_neumann=False,
+                solver="cholqr", fused=True)
+
+        sync(full_chunk()[0][:1])
+        dt = time_dispatches(full_chunk, lambda o: o[0][:1])
+        print(f"full bucket kernel (prologue+solve): {dt*1e3:.1f} ms/chunk"
+              f" = {dt/B*1e9:.0f} ns/node ({B/dt/1e6:.3f} Mnodes/s)",
+              flush=True)
+
+        # ---- prologue bisect: gathers only vs gathers+pieces+tiles ----
+        import jax
+        from ninpol_tpu.ops import df32 as dd
+        (nodes_d, valid_d, esup2d, esup_cnt, fsup2d, fsup_cnt, esuf2d,
+         pc_h, pc_l, cen_h, cen_l, nrm_h, nrm_l, fcc_h, fcc_l,
+         bfaces, inpofa, nL1_h, nL1_l, nL2_h, nL2_l, eta_h, eta_l,
+         nLb_h, nLb_l, nflag, nval_h, nval_l) = args
+
+        @jax.jit
+        def gathers_only(nodes):
+            KS = jnp.clip(esup2d[nodes, :E], 0, None)
+            SF = jnp.clip(fsup2d[nodes, :F], 0, None)
+            acc = (pc_h[nodes].sum() + pc_l[nodes].sum()
+                   + cen_h[KS].sum() + cen_l[KS].sum())
+            for a in (nrm_h, nrm_l, fcc_h, fcc_l, nL1_h, nL1_l,
+                      nL2_h, nL2_l, nLb_h, nLb_l):
+                acc = acc + a[SF].sum()
+            acc = acc + eta_h[SF].sum() + eta_l[SF].sum()
+            acc = acc + (esuf2d[SF].sum() + bfaces[SF].sum()
+                         + inpofa[SF].sum()).astype(jnp.float32)
+            return acc
+
+        sync(gathers_only(nodes_d))
+        dtg = time_dispatches(lambda: gathers_only(nodes_d),
+                              lambda o: o)
+        print(f"  gathers only: {dtg*1e3:.1f} ms/chunk", flush=True)
+
+        @jax.jit
+        def gathers_pieces_tiles(nodes):
+            f32 = jnp.float32
+            KS = jnp.clip(esup2d[nodes, :E], 0, None)
+            SF = jnp.clip(fsup2d[nodes, :F], 0, None)
+            xv = (pc_h[nodes], pc_l[nodes])
+            xvb = (xv[0][:, None, :], xv[1][:, None, :])
+            dKv = dd.add((cen_h[KS], cen_l[KS]),
+                         dd.neg(xvb))
+            Nf = (nrm_h[SF], nrm_l[SF])
+            fc = (fcc_h[SF], fcc_l[SF])
+            T1 = dd.add(xvb, dd.neg(fc))
+            comp = lambda p, c: (p[0][..., c], p[1][..., c])
+            T2c = [dd.add(dd.mul(comp(Nf, i), comp(T1, j)),
+                          dd.neg(dd.mul(comp(Nf, j), comp(T1, i))))
+                   for (i, j) in ((1, 2), (2, 0), (0, 1))]
+            T2 = (jnp.stack([t[0] for t in T2c], -1),
+                  jnp.stack([t[1] for t in T2c], -1))
+            t2n2 = dd.dot3(T2, T2, axis=-1)
+            eta = (eta_h[SF], eta_l[SF])
+            tau = dd.exp2(dd.mul(dd.scale(eta, f32(-0.5)),
+                                 dd.log2((jnp.maximum(t2n2[0], f32(1e-30)),
+                                          t2n2[1]))))
+            taub = (tau[0][:, :, None], tau[1][:, :, None])
+            tauT2 = dd.mul(taub, T2)
+            Gt = B // 128
+
+            def tile(x):
+                K = x.shape[1]
+                return jnp.transpose(x.reshape(Gt, 128, K, 3),
+                                     (0, 2, 3, 1))
+            acc = jnp.float32(0)
+            for p in (dKv, T1, tauT2, (nL1_h[SF], nL1_l[SF]),
+                      (nL2_h[SF], nL2_l[SF])):
+                acc = acc + tile(p[0]).sum() + tile(p[1]).sum()
+            return acc
+
+        sync(gathers_pieces_tiles(nodes_d))
+        dtp = time_dispatches(lambda: gathers_pieces_tiles(nodes_d),
+                              lambda o: o)
+        print(f"  gathers+pieces+tiles: {dtp*1e3:.1f} ms/chunk",
+              flush=True)
+    else:
+        E = int(os.environ.get("KB_E", "24"))
+        F = int(os.environ.get("KB_F", "40"))
+        B = int(os.environ.get("KB_B", "16384"))
+
+    for sweeps in (3, 2):
+        probe_kernel(E, F, B, with_neumann=False, sweeps=sweeps)
+
+
+if __name__ == "__main__":
+    main()
