@@ -201,18 +201,36 @@ def main():
                     d2h_s=round(t_fetch, 3),
                     d2h_mb_s=round(mb / max(t_fetch, 1e-9), 1))
 
-    # accuracy: mixed path vs exact float64 Householder on a subsample
+    # accuracy: the delivered weights vs the scipy-dgels ORACLE (the
+    # reference's own LAPACK driver) on a node subsample — computed on
+    # the host, so the bench touches no extra TPU executables (each
+    # big-kernel program costs minutes to load through the remote
+    # helper) and the comparison is direct reference semantics rather
+    # than our own exact path.
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from utils.oracle import gls_oracle
     rng = np.random.default_rng(1)
     interior = np.nonzero(~grid.boundary_points.astype(bool))[0]
     sub = rng.choice(interior, min(4096, len(interior)), replace=False)
-    Wm, _ = interp.prepare_interpolator("gls", "u", sub)
-    interp.gls.exact = True
-    We, _ = interp.prepare_interpolator("gls", "u", sub)
-    interp.gls.exact = False
-    scale = max(np.abs(We).max(), 1.0)
-    max_rel_err = float(np.abs(Wm - We).max() / scale)
-    print(f"# max rel err (mixed vs exact f64/dgels-equivalent, "
-          f"{len(sub)} nodes): {max_rel_err:.3e}", file=sys.stderr)
+    v2i = interp.variable_to_index
+    t0 = time.perf_counter()
+    Wo, _, cond = gls_oracle(
+        grid, sub,
+        interp.cells_data[v2i["cells"]["permeability"]],
+        interp.cells_data[v2i["cells"]["diff_mag"]],
+        interp.points_data[v2i["points"]["neumann_flag_u"]].astype(int),
+        interp.points_data[v2i["points"]["neumann_u"]],
+        return_cond=True)
+    ok = cond < 1e7
+    scale = max(np.abs(Wo).max(), 1.0)
+    ncols = min(W.shape[1], Wo.shape[1])
+    max_rel_err = float(
+        np.abs(W[sub][ok][:, :ncols] - Wo[ok][:, :ncols]).max() / scale)
+    print(f"# max rel err (delivered weights vs scipy dgels oracle, "
+          f"{int(ok.sum())}/{len(sub)} nodes, cond<1e7; oracle host time "
+          f"{time.perf_counter() - t0:.1f}s): {max_rel_err:.3e}",
+          file=sys.stderr)
 
     # full end-to-end CSR (info)
     t0 = time.perf_counter()

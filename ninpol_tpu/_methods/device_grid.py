@@ -109,14 +109,24 @@ class DeviceGrid:
         self.nrm_h, self.nrm_l = put_pair(grid.normal_faces)
         self.fcc_h, self.fcc_l = put_pair(grid.faces_centers)
         self._f64_cache = {}
-        self.boundary_points = put(grid.boundary_points.astype(np.int32))
-        self.boundary_faces = put(grid.boundary_faces.astype(np.int32))
+        # PACKED gather tables: XLA TPU gathers cost ~8 cycles PER ROW
+        # regardless of width (measured: 17 narrow stencil gathers ≈ the
+        # entire fused solve kernel), so per-point/per-cell/per-face data
+        # is packed into one wide row per entity and gathered ONCE.
+        self.point_pack = jnp.concatenate([self.pc_h, self.pc_l], axis=1)
+        self.cell_pack = jnp.concatenate([self.cen_h, self.cen_l], axis=1)
+        # int face row: [esuf2d(2) | boundary(1) | inpofa(4)]
+        esuf_pad = self.esuf2d_h[:, :2]
+        self.face_ipack = put(np.concatenate([
+            esuf_pad, grid.boundary_faces.astype(np.int32)[:, None],
+            grid.inpofa.astype(np.int32)], axis=1))
         self.esup2d = put(self.esup2d_h)
         self.esup_cnt = put(self.esup_cnt_h)
         self.fsup2d = put(self.fsup2d_h)
         self.fsup_cnt = put(self.fsup_cnt_h)
-        self.esuf2d = put(self.esuf2d_h)
-        self.inpofa = put(grid.inpofa.astype(np.int32))
+        # esuf2d/inpofa/boundary flags live only inside face_ipack (and
+        # as host arrays on the Grid) — separate device copies would add
+        # seconds of upload through this environment's relay.
 
     # float64 device views reconstructed lazily from the pairs (exact:
     # hi + lo is the original value) — used by IDW/LS and the legacy

@@ -69,10 +69,8 @@ _FORCE_FUSED = False
 
 def _gls_bucket_impl(
         nodes, valid,                       # (B,), (B,)
-        esup2d, esup_cnt, fsup2d, fsup_cnt, esuf2d,
-        pc_h, pc_l, cen_h, cen_l, nrm_h, nrm_l, fcc_h, fcc_l,
-        boundary_faces, inpofa,
-        nL1_h, nL1_l, nL2_h, nL2_l, eta_h, eta_l, nLb_h, nLb_l,
+        esup2d, esup_cnt, fsup2d, fsup_cnt,
+        point_pack, cell_pack, face_ipack, face_pack,
         neumann_flag, nval_h, nval_l,
         *, E, F, n_refine=2, exact=False, neumann_compat=True,
         with_neumann=True, solver="cholqr", fused=False):
@@ -81,7 +79,13 @@ def _gls_bucket_impl(
     B = nodes.shape[0]
     n = 3 * E + 1
 
-    # ---- gather stencils (integer topology) ------------------------------
+    # ---- gather stencils -------------------------------------------------
+    # XLA TPU gathers cost ~8 cycles/row independent of width (measured
+    # on this chip: the old 17 narrow per-array gathers took as long as
+    # the entire fused solve kernel), so everything per-entity comes
+    # from ONE wide packed-row gather: point_pack (6 f32), cell_pack
+    # (6 f32), face_ipack (7 i32: esuf | boundary | inpofa), face_pack
+    # (32 f32: nrm/fcc/nL1/nL2/nLb hi+lo, eta hi+lo).
     KSetv = esup2d[nodes, :E]                                   # (B,E)
     n_elem = jnp.minimum(esup_cnt[nodes], E)                    # (B,)
     cell_valid = (jnp.arange(E)[None, :] < n_elem[:, None]) & (KSetv >= 0)
@@ -92,14 +96,20 @@ def _gls_bucket_impl(
     face_valid = (jnp.arange(F)[None, :] < n_face[:, None]) & (Sv >= 0)
     SF = jnp.where(face_valid, Sv, 0)
 
+    fp_i = face_ipack[SF]                                       # (B,F,7)
+    pair = fp_i[:, :, 0:2]
+    bface = fp_i[:, :, 2]
+    fpts = fp_i[:, :, 3:7]                                      # (B,F,4)
+    fpk = face_pack[SF]                                         # (B,F,32)
+    cpk = cell_pack[KS]                                         # (B,E,6)
+    ppk = point_pack[nodes]                                     # (B,6)
+
     is_neu = neumann_flag[nodes] != 0
-    n_bface = jnp.sum(
-        face_valid & (boundary_faces[SF] != 0), axis=1)
+    n_bface = jnp.sum(face_valid & (bface != 0), axis=1)
     skip_build = n_bface >= n_face                              # gls.pyx:266
     # Dirichlet-boundary nodes are excluded by the caller's bucket mask.
     active = valid & ~skip_build
 
-    pair = esuf2d[SF][:, :, :2]                                 # (B,F,2)
     interior = face_valid & (pair[:, :, 1] >= 0)
     k1 = jnp.where(interior, pair[:, :, 0], 0)
     k2 = jnp.where(interior, pair[:, :, 1], 0)
@@ -112,12 +122,11 @@ def _gls_bucket_impl(
     Ij2 = jnp.argmax(S2, axis=2)
 
     if with_neumann:
-        bmask = face_valid & (boundary_faces[SF] != 0) & is_neu[:, None]
+        bmask = face_valid & (bface != 0) & is_neu[:, None]
         owner = jnp.where(bmask, pair[:, :, 0], 0)
         Sb = ((KS[:, None, :] == owner[:, :, None])
               & bmask[:, :, None] & cell_valid[:, None, :])
         Ikb = jnp.argmax(Sb, axis=2)
-        fpts = inpofa[SF]                                       # (B,F,4)
         fp_valid = fpts >= 0
         fpts_safe = jnp.where(fp_valid, fpts, 0)
 
@@ -131,9 +140,6 @@ def _gls_bucket_impl(
         # well inside the 1e-10 parity budget (tau was already df32).
         dd = df32
 
-        def gpair(h, l, idx):
-            return h[idx], l[idx]
-
         def pmask(p, m32):
             return p[0] * m32, p[1] * m32
 
@@ -143,12 +149,13 @@ def _gls_bucket_impl(
         cv32 = cell_valid.astype(f32)
         af32 = active.astype(f32)
         im32 = interior.astype(f32)[:, :, None]
-        xv = gpair(pc_h, pc_l, nodes)                           # (B,3)
+        xv = (ppk[:, 0:3], ppk[:, 3:6])                         # (B,3)
         xvb = (xv[0][:, None, :], xv[1][:, None, :])
-        dKv_s = pmask(dd.add(gpair(cen_h, cen_l, KS), dd.neg(xvb)),
+        dKv_s = pmask(dd.add((cpk[:, :, 0:3], cpk[:, :, 3:6]),
+                             dd.neg(xvb)),
                       cv32[:, :, None])                         # (B,E,3)
-        Nf = gpair(nrm_h, nrm_l, SF)                            # (B,F,3)
-        fc = gpair(fcc_h, fcc_l, SF)
+        Nf = (fpk[:, :, 0:3], fpk[:, :, 3:6])                   # (B,F,3)
+        fc = (fpk[:, :, 6:9], fpk[:, :, 9:12])
         T1 = dd.add(xvb, dd.neg(fc))                            # (B,F,3)
         T2c = []
         for (i, j) in ((1, 2), (2, 0), (0, 1)):                 # N x T1
@@ -164,17 +171,18 @@ def _gls_bucket_impl(
         t2h = jnp.where(interior & ~degen, t2n2[0],
                         jnp.where(interior, f32(1e-30), f32(1.0)))
         t2l = jnp.where(interior & ~degen, t2n2[1], f32(0.0))
-        eta = gpair(eta_h, eta_l, SF)
+        eta = (fpk[:, :, 30], fpk[:, :, 31])
         tau = dd.exp2(dd.mul(dd.scale(eta, f32(-0.5)),
                              dd.log2((t2h, t2l))))              # (B,F)
         taub = (tau[0][:, :, None], tau[1][:, :, None])
-        nL1m = pmask(gpair(nL1_h, nL1_l, SF), im32)
-        nL2m = pmask(gpair(nL2_h, nL2_l, SF), im32)
+        nL1m = pmask((fpk[:, :, 12:15], fpk[:, :, 15:18]), im32)
+        nL2m = pmask((fpk[:, :, 18:21], fpk[:, :, 21:24]), im32)
         T1m = pmask(T1, im32)
         tauT2m = pmask(dd.mul(taub, T2), im32)
         if with_neumann:
             bm32 = bmask.astype(f32)
-            nLb_s = pmask(gpair(nLb_h, nLb_l, SF), bm32[:, :, None])
+            nLb_s = pmask((fpk[:, :, 24:27], fpk[:, :, 27:30]),
+                          bm32[:, :, None])
             nvh = jnp.where(fp_valid, nval_h[fpts_safe], f32(0.0))
             nvl = jnp.where(fp_valid, nval_l[fpts_safe], f32(0.0))
             s = (nvh[..., 0], nvl[..., 0])
@@ -237,19 +245,20 @@ def _gls_bucket_impl(
         return w, w_neu, jnp.where(active, rnorm, 0.0)
 
     # ---- float64 prologue (exact path + CPU/legacy solvers) --------------
-    # Pieces are reconstructed exactly from the hi/lo pairs (hi + lo IS
-    # the original float64) and computed in f64, so the exact path stays
-    # a true dgels-equivalent oracle (tau included: f64 pow here).
-    def to64(h, l, idx):
-        return h[idx].astype(f64) + l[idx].astype(f64)
+    # Pieces are reconstructed exactly from the hi/lo pack columns
+    # (hi + lo IS the original float64) and computed in f64, so the
+    # exact path stays a true dgels-equivalent oracle (tau included:
+    # f64 pow here).
+    def to64(pk, h0, h1, l0, l1):
+        return (pk[..., h0:h1].astype(f64) + pk[..., l0:l1].astype(f64))
 
-    xv = to64(pc_h, pc_l, nodes)                                # (B,3)
+    xv = to64(ppk, 0, 3, 3, 6)                                  # (B,3)
     cvf = cell_valid.astype(f64)
     dKv = jnp.where(cell_valid[:, :, None],
-                    to64(cen_h, cen_l, KS) - xv[:, None, :], 0.0)
-    Nf = to64(nrm_h, nrm_l, SF)                                 # (B,F,3)
-    fc = to64(fcc_h, fcc_l, SF)
-    eta = to64(eta_h, eta_l, SF)
+                    to64(cpk, 0, 3, 3, 6) - xv[:, None, :], 0.0)
+    Nf = to64(fpk, 0, 3, 3, 6)                                  # (B,F,3)
+    fc = to64(fpk, 6, 9, 9, 12)
+    eta = to64(fpk, 30, 31, 31, 32)[..., 0]
     T1 = xv[:, None, :] - fc                                    # (B,F,3)
     T2 = jnp.cross(Nf, T1)
     T2n = jnp.sqrt(jnp.sum(T2 * T2, axis=2))
@@ -257,8 +266,8 @@ def _gls_bucket_impl(
     tau = tau_base ** (-eta)
 
     imask = interior[:, :, None].astype(f64)
-    nL1m = to64(nL1_h, nL1_l, SF) * imask
-    nL2m = to64(nL2_h, nL2_l, SF) * imask
+    nL1m = to64(fpk, 12, 15, 15, 18) * imask
+    nL2m = to64(fpk, 18, 21, 21, 24) * imask
     T1m = T1 * imask
     tauT2m = tau[:, :, None] * T2 * imask
 
@@ -268,8 +277,11 @@ def _gls_bucket_impl(
     if with_neumann:
         bm = bmask[:, :, None].astype(f64)
         Sbf = Sb.astype(f64)
-        nLbm = to64(nLb_h, nLb_l, SF) * bm
-        nvals = jnp.where(fp_valid, to64(nval_h, nval_l, fpts_safe), 0.0)
+        nLbm = to64(fpk, 24, 27, 27, 30) * bm
+        nvals = jnp.where(
+            fp_valid,
+            (nval_h[fpts_safe].astype(f64)
+             + nval_l[fpts_safe].astype(f64)), 0.0)
         nmean = jnp.where(
             bmask, jnp.sum(nvals, axis=2)
             / jnp.maximum(jnp.sum(fp_valid, axis=2), 1), 0.0)   # (B,F)
@@ -638,7 +650,7 @@ _gls_bucket_kernel = partial(
 # are replicated (per-node weights are node-local, SURVEY §2.3: stencil
 # gathers stay device-local; XLA inserts no collectives).  This is the
 # TPU-native analogue of adding OpenMP threads in the reference.
-_N_REPLICATED_ARGS = 26     # every positional arg after (nodes, valid)
+_N_REPLICATED_ARGS = 11     # every positional arg after (nodes, valid)
 _sharded_cache = {}
 
 
@@ -762,15 +774,28 @@ class GLSInterpolation:
             def sp(a):
                 # exact hi/lo float32 split, on the host (same bytes on
                 # the wire as the float64 upload it replaces)
-                a = np.asarray(a, np.float64)
+                a = np.asarray(a, np.float64).reshape(grid.n_faces, -1)
                 h = a.astype(np.float32)
-                return (jnp.asarray(h),
-                        jnp.asarray((a - h.astype(np.float64))
-                                    .astype(np.float32)))
+                return (h, (a - h.astype(np.float64)).astype(np.float32))
 
-            self._face_cache = (sp(nL1g) + sp(nL2g) + sp(etag) + sp(nLbg)
-                                + (jnp.asarray(neumann_flag),)
-                                + sp(points_data[nv_idx]))
+            # ONE packed face row per face (kernel gathers it once;
+            # column layout documented in _gls_bucket_impl): geometry
+            # columns come from the device-resident grid pairs, flux
+            # columns are uploaded here.
+            flux = np.concatenate(
+                sp(nL1g) + sp(nL2g) + sp(nLbg) + sp(etag), axis=1)
+            face_pack = jnp.concatenate(
+                [dgrid.nrm_h, dgrid.nrm_l, dgrid.fcc_h, dgrid.fcc_l,
+                 jnp.asarray(flux[:, 0:3]), jnp.asarray(flux[:, 3:6]),
+                 jnp.asarray(flux[:, 6:9]), jnp.asarray(flux[:, 9:12]),
+                 jnp.asarray(flux[:, 12:15]), jnp.asarray(flux[:, 15:18]),
+                 jnp.asarray(flux[:, 18:19]), jnp.asarray(flux[:, 19:20])],
+                axis=1)
+            nvraw = np.asarray(points_data[nv_idx], np.float64)
+            nvh = nvraw.astype(np.float32)
+            nvl = (nvraw - nvh.astype(np.float64)).astype(np.float32)
+            self._face_cache = (face_pack, jnp.asarray(neumann_flag),
+                                jnp.asarray(nvh), jnp.asarray(nvl))
             self._face_cache_key = ckey
         face_dev = self._face_cache
 
@@ -786,10 +811,7 @@ class GLSInterpolation:
             args = (
                 bucket["nodes"], bucket["valid"],
                 dgrid.esup2d, dgrid.esup_cnt, dgrid.fsup2d, dgrid.fsup_cnt,
-                dgrid.esuf2d,
-                dgrid.pc_h, dgrid.pc_l, dgrid.cen_h, dgrid.cen_l,
-                dgrid.nrm_h, dgrid.nrm_l, dgrid.fcc_h, dgrid.fcc_l,
-                dgrid.boundary_faces, dgrid.inpofa,
+                dgrid.point_pack, dgrid.cell_pack, dgrid.face_ipack,
                 *face_dev)
             statics = dict(
                 E=bucket["E"], F=bucket["F"], n_refine=self.n_refine,
@@ -807,7 +829,10 @@ class GLSInterpolation:
         is_neu_t = neumann_flag[target_points] != 0
         chunk_elems = (self.chunk_elems_exact if self.exact
                        else self.chunk_elems)
-        chunk_size = 8192 if self.exact else 16384
+        # fused-path chunks: 32k nodes/dispatch (VMEM use is per 128-node
+        # tile, so larger chunks only add HBM-resident tiles; fewer
+        # dispatches amortize the ~70 ms round-trip latencies)
+        chunk_size = 8192 if self.exact else 32768
         balign = 256 if mesh is None else max(256, 128 * mesh.devices.size)
         all_buckets = []
         for mask, wneu in ((active & ~is_neu_t, False),

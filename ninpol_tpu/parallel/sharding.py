@@ -87,29 +87,38 @@ def sharded_gls(dgrid, mesh, shard_geometry=False, axis="nodes"):
     def run(bucket, perm, diff_mag, neumann_flag, neumann_val,
             n_refine=3, exact=False, neumann_compat=True,
             with_neumann=True):
+        grid = dgrid.grid
         nL1g, nL2g, etag, nLbg = precompute_face_data(
-            dgrid.grid, np.asarray(perm), np.asarray(diff_mag))
+            grid, np.asarray(perm), np.asarray(diff_mag))
         put = _put_geo
 
-        def put_pair(a):
-            h, l = _sp(a)
-            return put(h), put(l)
+        def hpack(*arrs):
+            return np.concatenate(
+                sum((list(_sp(a)) for a in arrs), []), axis=1)
+
+        def _sp2(a):
+            a = np.asarray(a, np.float64).reshape(len(a), -1)
+            return _sp(a)
+        point_pack = hpack(np.asarray(grid.point_coords))
+        cell_pack = hpack(np.asarray(grid.centroids))
+        face_pack = np.concatenate(
+            [hpack(grid.normal_faces), hpack(grid.faces_centers),
+             hpack(nL1g), hpack(nL2g), hpack(nLbg),
+             np.concatenate(_sp2(etag[:, None]), axis=1)], axis=1)
+        face_ipack = np.concatenate(
+            [dgrid.esuf2d_h[:, :2],
+             grid.boundary_faces.astype(np.int32)[:, None],
+             grid.inpofa.astype(np.int32)], axis=1)
+        nv_h, nv_l = _sp(np.asarray(neumann_val, np.float64))
 
         args = (
             jax.device_put(bucket["nodes"], node_sh),
             jax.device_put(bucket["valid"], node_sh),
             put(dgrid.esup2d), put(dgrid.esup_cnt),
             put(dgrid.fsup2d), put(dgrid.fsup_cnt),
-            put(dgrid.esuf2d),
-            *put_pair(dgrid.grid.point_coords),
-            *put_pair(dgrid.grid.centroids),
-            *put_pair(dgrid.grid.normal_faces),
-            *put_pair(dgrid.grid.faces_centers),
-            put(dgrid.boundary_faces), put(dgrid.inpofa),
-            *put_pair(nL1g), *put_pair(nL2g), *put_pair(etag),
-            *put_pair(nLbg),
-            put(np.asarray(neumann_flag)),
-            *put_pair(np.asarray(neumann_val)),
+            put(point_pack), put(cell_pack), put(face_ipack),
+            put(face_pack),
+            put(np.asarray(neumann_flag)), put(nv_h), put(nv_l),
         )
         with mesh:
             return _gls_bucket_kernel(

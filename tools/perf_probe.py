@@ -132,10 +132,8 @@ def main():
             chunk_elems=interp.gls.chunk_elems)
             if (b["E"], b["F"], len(b["pos"])) == (E, F, B))
         args = (jnp.asarray(bucket["nodes"]), jnp.asarray(bucket["valid"]),
-                dg.esup2d, dg.esup_cnt, dg.fsup2d, dg.fsup_cnt, dg.esuf2d,
-                dg.pc_h, dg.pc_l, dg.cen_h, dg.cen_l,
-                dg.nrm_h, dg.nrm_l, dg.fcc_h, dg.fcc_l,
-                dg.boundary_faces, dg.inpofa, *fc)
+                dg.esup2d, dg.esup_cnt, dg.fsup2d, dg.fsup_cnt,
+                dg.point_pack, dg.cell_pack, dg.face_ipack, *fc)
 
         def full_chunk():
             return _gls_bucket_kernel(
@@ -149,74 +147,24 @@ def main():
               f" = {dt/B*1e9:.0f} ns/node ({B/dt/1e6:.3f} Mnodes/s)",
               flush=True)
 
-        # ---- prologue bisect: gathers only vs gathers+pieces+tiles ----
+        # ---- packed-gather cost check --------------------------------
         import jax
-        from ninpol_tpu.ops import df32 as dd
-        (nodes_d, valid_d, esup2d, esup_cnt, fsup2d, fsup_cnt, esuf2d,
-         pc_h, pc_l, cen_h, cen_l, nrm_h, nrm_l, fcc_h, fcc_l,
-         bfaces, inpofa, nL1_h, nL1_l, nL2_h, nL2_l, eta_h, eta_l,
-         nLb_h, nLb_l, nflag, nval_h, nval_l) = args
+        (nodes_d, valid_d, esup2d, esup_cnt, fsup2d, fsup_cnt,
+         point_pack, cell_pack, face_ipack, face_pack,
+         nflag, nval_h, nval_l) = args
 
         @jax.jit
         def gathers_only(nodes):
             KS = jnp.clip(esup2d[nodes, :E], 0, None)
             SF = jnp.clip(fsup2d[nodes, :F], 0, None)
-            acc = (pc_h[nodes].sum() + pc_l[nodes].sum()
-                   + cen_h[KS].sum() + cen_l[KS].sum())
-            for a in (nrm_h, nrm_l, fcc_h, fcc_l, nL1_h, nL1_l,
-                      nL2_h, nL2_l, nLb_h, nLb_l):
-                acc = acc + a[SF].sum()
-            acc = acc + eta_h[SF].sum() + eta_l[SF].sum()
-            acc = acc + (esuf2d[SF].sum() + bfaces[SF].sum()
-                         + inpofa[SF].sum()).astype(jnp.float32)
-            return acc
+            return (point_pack[nodes].sum() + cell_pack[KS].sum()
+                    + face_pack[SF].sum()
+                    + face_ipack[SF].sum().astype(jnp.float32))
 
         sync(gathers_only(nodes_d))
         dtg = time_dispatches(lambda: gathers_only(nodes_d),
                               lambda o: o)
-        print(f"  gathers only: {dtg*1e3:.1f} ms/chunk", flush=True)
-
-        @jax.jit
-        def gathers_pieces_tiles(nodes):
-            f32 = jnp.float32
-            KS = jnp.clip(esup2d[nodes, :E], 0, None)
-            SF = jnp.clip(fsup2d[nodes, :F], 0, None)
-            xv = (pc_h[nodes], pc_l[nodes])
-            xvb = (xv[0][:, None, :], xv[1][:, None, :])
-            dKv = dd.add((cen_h[KS], cen_l[KS]),
-                         dd.neg(xvb))
-            Nf = (nrm_h[SF], nrm_l[SF])
-            fc = (fcc_h[SF], fcc_l[SF])
-            T1 = dd.add(xvb, dd.neg(fc))
-            comp = lambda p, c: (p[0][..., c], p[1][..., c])
-            T2c = [dd.add(dd.mul(comp(Nf, i), comp(T1, j)),
-                          dd.neg(dd.mul(comp(Nf, j), comp(T1, i))))
-                   for (i, j) in ((1, 2), (2, 0), (0, 1))]
-            T2 = (jnp.stack([t[0] for t in T2c], -1),
-                  jnp.stack([t[1] for t in T2c], -1))
-            t2n2 = dd.dot3(T2, T2, axis=-1)
-            eta = (eta_h[SF], eta_l[SF])
-            tau = dd.exp2(dd.mul(dd.scale(eta, f32(-0.5)),
-                                 dd.log2((jnp.maximum(t2n2[0], f32(1e-30)),
-                                          t2n2[1]))))
-            taub = (tau[0][:, :, None], tau[1][:, :, None])
-            tauT2 = dd.mul(taub, T2)
-            Gt = B // 128
-
-            def tile(x):
-                K = x.shape[1]
-                return jnp.transpose(x.reshape(Gt, 128, K, 3),
-                                     (0, 2, 3, 1))
-            acc = jnp.float32(0)
-            for p in (dKv, T1, tauT2, (nL1_h[SF], nL1_l[SF]),
-                      (nL2_h[SF], nL2_l[SF])):
-                acc = acc + tile(p[0]).sum() + tile(p[1]).sum()
-            return acc
-
-        sync(gathers_pieces_tiles(nodes_d))
-        dtp = time_dispatches(lambda: gathers_pieces_tiles(nodes_d),
-                              lambda o: o)
-        print(f"  gathers+pieces+tiles: {dtp*1e3:.1f} ms/chunk",
+        print(f"  packed gathers only: {dtg*1e3:.1f} ms/chunk",
               flush=True)
     else:
         E = int(os.environ.get("KB_E", "24"))
