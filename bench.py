@@ -130,6 +130,9 @@ def main():
     n = int(os.environ.get("NINPOL_BENCH_N", "55"))
     t_all = time.perf_counter()
     interp, build_time = build_problem(n)
+    # experimentation knob: single-round CholQR preconditioner
+    interp.gls.precond_rounds = int(
+        os.environ.get("NINPOL_BENCH_ROUNDS", "2"))
     grid = interp.grid
     n_points = grid.n_points
     n_cells = grid.n_elems

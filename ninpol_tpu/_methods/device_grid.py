@@ -25,7 +25,7 @@ def _round_up(x, m):
 # cuts (round 2) gave each mesh its own shapes — with executable
 # load/compile costing ~minutes per shape through this environment's
 # remote helper, the shape count dominated process warm-start time.
-_SIZE_LADDER = (4, 8, 12, 16, 20, 24, 28, 32, 40, 48, 56, 64, 80, 96,
+_SIZE_LADDER = (4, 8, 12, 16, 20, 24, 28, 32, 36, 40, 48, 56, 64, 80, 96,
                 112, 128, 160, 192, 224, 256)
 
 
@@ -217,21 +217,44 @@ class DeviceGrid:
                     csize,
                     _pow2_down(max(chunk_elems // (m_pad * n_pad), 1),
                                batch_align)))
-            for lo in range(0, len(p), csize):
-                pc = p[lo:lo + csize]
-                nc = nsel[lo:lo + csize]
-                # full chunks share one compiled shape; the tail pads to
-                # the next power of two (bounded shape variety — each
-                # distinct (E, F, B) costs a multi-minute kernel
-                # compile/load through the remote helper)
-                B = (csize if len(pc) == csize
-                     else min(csize, _pow2_up(len(pc), batch_align)))
+            # Full chunks share one compiled shape.  The tail becomes
+            # either ONE padded power-of-two chunk or TWO (pow2-down +
+            # padded remainder), whichever wastes less padding — a
+            # single pad-to-next-pow2 wasted up to ~2x compute (an
+            # 18k-node Neumann bucket padded to 32k), while a full
+            # binary decomposition would multiply the number of
+            # distinct (E, F, B) programs, each costing minutes of
+            # compile/load through the remote helper.
+            n_full = len(p) // csize
+            plan = [(csize, csize)] * n_full
+            rem = len(p) - n_full * csize
+            if rem:
+                if rem <= batch_align:
+                    plan.append((batch_align, rem))
+                else:
+                    one = min(csize, _pow2_up(rem, batch_align))
+                    half = _pow2_down(rem, batch_align)
+                    rem2 = rem - half
+                    two_pad = (0 if rem2 == 0
+                               else min(half, _pow2_up(
+                                   max(rem2, batch_align), batch_align))
+                               - rem2)
+                    if rem2 == 0 or one - rem <= two_pad:
+                        plan.append((one, rem))
+                    else:
+                        plan.append((half, half))
+                        plan.append((two_pad + rem2, rem2))
+            lo = 0
+            for B, take in plan:
+                pc = p[lo:lo + take]
+                nc = nsel[lo:lo + take]
                 pos = np.full(B, -1, dtype=np.int64)
-                pos[:len(pc)] = pc
+                pos[:take] = pc
                 nodes = np.zeros(B, dtype=np.int32)
-                nodes[:len(pc)] = nc
+                nodes[:take] = nc
                 out.append({"pos": pos, "nodes": nodes, "E": E, "F": F,
                             "valid": pos >= 0})
+                lo += take
         return out
 
 

@@ -73,7 +73,7 @@ def _gls_bucket_impl(
         point_pack, cell_pack, face_ipack, face_pack,
         neumann_flag, nval_h, nval_l,
         *, E, F, n_refine=2, exact=False, neumann_compat=True,
-        with_neumann=True, solver="cholqr", fused=False):
+        with_neumann=True, solver="cholqr", fused=False, rounds=2):
     f64 = jnp.float64
     f32 = jnp.float32
     B = nodes.shape[0]
@@ -224,7 +224,11 @@ def _gls_bucket_impl(
             tile2(i32(Ij1)), tile2(i32(Ij2)), ikb_t,
             tile2(cv32), tile2(af32[:, None]),
             tile2(nmean_s[0]), tile2(nmean_s[1]),
-            with_neumann, sweeps=max(n_refine + 1, 2))
+            with_neumann, rounds=rounds,
+            # single-round CholQR contracts the residual by
+            # ~eps32*cond(A) per sweep instead of cond-independently,
+            # so it runs two extra sweeps
+            sweeps=max(n_refine + 1, 2) + (2 if rounds == 1 else 0))
 
         def untile(x):
             """(G, K, NT) -> (B, K)."""
@@ -643,7 +647,7 @@ def _gls_bucket_impl(
 _gls_bucket_kernel = partial(
     jax.jit, static_argnames=("E", "F", "n_refine", "exact",
                               "neumann_compat", "with_neumann",
-                              "solver", "fused"))(_gls_bucket_impl)
+                              "solver", "fused", "rounds"))(_gls_bucket_impl)
 
 # Multi-chip entry: the SAME kernel body under jax.shard_map — the node
 # batch is sharded over the mesh's "nodes" axis, all grid/face arrays
@@ -713,6 +717,14 @@ class GLSInterpolation:
         # selectable for cross-checks.
         self.solver = "auto"
         self.n_refine = 2
+        # CholQR rounds in the fused preconditioner: 2 (default) keeps
+        # the residual contraction cond-independent.  1 drops Q/Gram2/
+        # chol2 (~45% of the kernel) but contracts at ~eps32*cond(A)^2:
+        # MEASURED on the 1M tet bench to cause an exact-fallback storm
+        # (209 s vs 2 s per run) — real tetra stencils reach cond(A)
+        # ~1e3-3e3, where one round stalls.  Keep 2 unless the mesh is
+        # known to be near-orthogonal.
+        self.precond_rounds = 2
         self.exact = False
         self.neumann_compat = True
         # Nodes whose estimated relative solve error (last refinement
@@ -817,7 +829,8 @@ class GLSInterpolation:
                 E=bucket["E"], F=bucket["F"], n_refine=self.n_refine,
                 exact=exact, neumann_compat=self.neumann_compat,
                 with_neumann=bucket.get("with_neumann", True),
-                solver=solver, fused=fused_ok and not exact)
+                solver=solver, fused=fused_ok and not exact,
+                rounds=self.precond_rounds)
             if mesh is None:
                 return _gls_bucket_kernel(*args, **statics)
             return _gls_bucket_sharded(
@@ -914,10 +927,16 @@ class GLSInterpolation:
                     lo += nb
 
         if not self.exact and self.fallback_tol is not None:
-            # one small fetch decides which nodes need the exact path;
-            # NaN-safe: anything not provably converged falls back
-            rn_host = np.asarray(rndev)
-            bad_all = active & ~(rn_host <= self.fallback_tol)
+            # a 1-element device-side count decides whether the full
+            # per-node rnorm vector is worth fetching at all (padding /
+            # inactive rows carry rnorm == 0, so only genuinely
+            # unconverged nodes count); NaN-safe: anything not provably
+            # converged falls back
+            n_bad = int(np.asarray(jnp.sum(~(rndev <= self.fallback_tol))))
+            bad_all = np.zeros(n_target, dtype=bool)
+            if n_bad:
+                rn_host = np.asarray(rndev)
+                bad_all = active & ~(rn_host <= self.fallback_tol)
             if bad_all.any():
                 for bucket in all_buckets:
                     sel = bucket["valid"]

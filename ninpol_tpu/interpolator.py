@@ -422,7 +422,7 @@ class Interpolator:
                   hash(target_points.tobytes()),
                   self.gls.exact, self.gls.solver, self.gls.neumann_compat,
                   self.gls.n_refine, self.gls.fallback_tol,
-                  self.delivery_f32)
+                  self.gls.precond_rounds, self.delivery_f32)
         if tp_key in self._prep_cache:
             weights, neumann_ws = self._prep_cache[tp_key]
         else:

@@ -33,7 +33,7 @@ def time_dispatches(fn, sync_out, k=5):
     return (time.perf_counter() - t0) / k
 
 
-def probe_kernel(E, F, B, with_neumann=False, sweeps=3):
+def probe_kernel(E, F, B, with_neumann=False, sweeps=3, rounds=2):
     import jax
     import jax.numpy as jnp
     from ninpol_tpu.ops.pallas_chol import NT, gls_solve_fused as _gsf
@@ -41,7 +41,7 @@ def probe_kernel(E, F, B, with_neumann=False, sweeps=3):
     # jit-wrap: untraced calls re-trace the huge unrolled kernel jaxpr
     # on the host every time (seconds of pure python)
     gls_solve_fused = jax.jit(_gsf, static_argnames=("with_neumann",
-                                                     "sweeps"))
+                                                     "sweeps", "rounds"))
 
     G = B // NT
     rng = np.random.default_rng(0)
@@ -70,14 +70,14 @@ def probe_kernel(E, F, B, with_neumann=False, sweeps=3):
                                nL2[0], nL2[1], T1[0], T1[1],
                                tau[0], tau[1], nLb[0], nLb[1],
                                ij1, ij2, ikb, cv, af, nm[0], nm[1],
-                               with_neumann, sweeps=sweeps)
+                               with_neumann, sweeps=sweeps, rounds=rounds)
 
     t0 = time.perf_counter()
     out = run()
     sync(out[0][:1, :1, :1])
     print(f"  kernel (E={E},F={F},B={B},neu={with_neumann},"
-          f"sweeps={sweeps}): first call {time.perf_counter()-t0:.1f}s",
-          flush=True)
+          f"sweeps={sweeps},rounds={rounds}): first call "
+          f"{time.perf_counter()-t0:.1f}s", flush=True)
     dt = time_dispatches(run, lambda o: o[0][:1, :1, :1])
     print(f"  kernel steady: {dt*1e3:.1f} ms/chunk = "
           f"{dt/B*1e9:.0f} ns/node -> {B/dt/1e6:.3f} Mnodes/s", flush=True)
@@ -171,8 +171,8 @@ def main():
         F = int(os.environ.get("KB_F", "40"))
         B = int(os.environ.get("KB_B", "16384"))
 
-    for sweeps in (3, 2):
-        probe_kernel(E, F, B, with_neumann=False, sweeps=sweeps)
+    probe_kernel(E, F, B, with_neumann=False, sweeps=3, rounds=2)
+    probe_kernel(E, F, B, with_neumann=False, sweeps=5, rounds=1)
 
 
 if __name__ == "__main__":
