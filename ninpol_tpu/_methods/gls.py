@@ -783,26 +783,32 @@ class GLSInterpolation:
             nL1g, nL2g, etag, nLbg = precompute_face_data(
                 grid, perm, diff_mag)
 
-            def sp(a):
-                # exact hi/lo float32 split, on the host (same bytes on
-                # the wire as the float64 upload it replaces)
-                a = np.asarray(a, np.float64).reshape(grid.n_faces, -1)
-                h = a.astype(np.float32)
-                return (h, (a - h.astype(np.float64)).astype(np.float32))
-
             # ONE packed face row per face (kernel gathers it once;
             # column layout documented in _gls_bucket_impl): geometry
             # columns come from the device-resident grid pairs, flux
-            # columns are uploaded here.
-            flux = np.concatenate(
-                sp(nL1g) + sp(nL2g) + sp(nLbg) + sp(etag), axis=1)
+            # columns are uploaded here.  The hi/lo splits write
+            # straight into ONE preallocated buffer — concatenating
+            # per-piece temporaries peaked ~1 GB higher at 2M-cell
+            # scale (fresh-subprocess VmHWM).
+            flux = np.empty((grid.n_faces, 20), np.float32)
+
+            def sp_into(a, lo_col):
+                a = np.asarray(a, np.float64).reshape(grid.n_faces, -1)
+                h = a.astype(np.float32)
+                k = a.shape[1]
+                flux[:, lo_col:lo_col + k] = h
+                flux[:, lo_col + k:lo_col + 2 * k] = (
+                    (a - h.astype(np.float64)).astype(np.float32))
+
+            sp_into(nL1g, 0)
+            sp_into(nL2g, 6)
+            sp_into(nLbg, 12)
+            sp_into(etag, 18)
+            del nL1g, nL2g, nLbg, etag
             face_pack = jnp.concatenate(
                 [dgrid.nrm_h, dgrid.nrm_l, dgrid.fcc_h, dgrid.fcc_l,
-                 jnp.asarray(flux[:, 0:3]), jnp.asarray(flux[:, 3:6]),
-                 jnp.asarray(flux[:, 6:9]), jnp.asarray(flux[:, 9:12]),
-                 jnp.asarray(flux[:, 12:15]), jnp.asarray(flux[:, 15:18]),
-                 jnp.asarray(flux[:, 18:19]), jnp.asarray(flux[:, 19:20])],
-                axis=1)
+                 jnp.asarray(flux)], axis=1)
+            del flux
             nvraw = np.asarray(points_data[nv_idx], np.float64)
             nvh = nvraw.astype(np.float32)
             nvl = (nvraw - nvh.astype(np.float64)).astype(np.float32)

@@ -21,14 +21,21 @@ _EXACT_EPS = float(np.float32(1e-15))  # idw.pyx:53 (C float of 1e-15)
 
 
 def _idw_bucket_impl(nodes, valid, esup2d, esup_cnt,
-                     point_coords, centroids, *, E, dim):
+                     point_pack, cell_pack, *, E, dim):
+    # packed-row gathers (XLA TPU gathers cost ~8 cycles/row regardless
+    # of width — see _methods/gls.py); hi + lo reconstructs the float64
+    # coordinates bit-exactly, so the distance math stays reference-f64
+    f64 = jnp.float64
     KSetv = esup2d[nodes, :E]
     n_elem = jnp.minimum(esup_cnt[nodes], E)
     cell_valid = (jnp.arange(E)[None, :] < n_elem[:, None]) & (KSetv >= 0)
     KS = jnp.where(cell_valid, KSetv, 0)
 
-    xv = point_coords[nodes][:, :dim]
-    xc = centroids[KS][:, :, :dim]
+    pp = point_pack[nodes]                                    # (B,6)
+    cp = cell_pack[KS]                                        # (B,E,6)
+    xv = (pp[:, 0:3].astype(f64) + pp[:, 3:6].astype(f64))[:, :dim]
+    xc = (cp[:, :, 0:3].astype(f64)
+          + cp[:, :, 3:6].astype(f64))[:, :, :dim]
     d2 = jnp.sum((xv[:, None, :] - xc) ** 2, axis=2)          # (B,E)
 
     hit = cell_valid & (d2 <= _EXACT_EPS)
@@ -98,7 +105,7 @@ class IDWInterpolation:
                                     batch_align=balign):
             args = (bucket["nodes"], bucket["valid"],
                     dgrid.esup2d, dgrid.esup_cnt,
-                    dgrid.point_coords, dgrid.centroids)
+                    dgrid.point_pack, dgrid.cell_pack)
             if mesh is None:
                 w = _idw_bucket_kernel(*args, E=bucket["E"], dim=grid.dim)
             else:

@@ -26,15 +26,21 @@ import jax.numpy as jnp
 
 
 def _ls_bucket_impl(nodes, valid, esup2d, esup_cnt,
-                    point_coords, centroids, *, E):
+                    point_pack, cell_pack, *, E):
+    # packed-row gathers; hi + lo reconstructs float64 bit-exactly
+    # (see _methods/idw.py)
+    f64 = jnp.float64
     KSetv = esup2d[nodes, :E]
     n_elem = jnp.minimum(esup_cnt[nodes], E)
     cell_valid = (jnp.arange(E)[None, :] < n_elem[:, None]) & (KSetv >= 0)
     KS = jnp.where(cell_valid, KSetv, 0)
 
-    xv = point_coords[nodes]                                  # (B,3)
+    pp = point_pack[nodes]                                    # (B,6)
+    cp = cell_pack[KS]                                        # (B,E,6)
+    xv = pp[:, 0:3].astype(f64) + pp[:, 3:6].astype(f64)      # (B,3)
+    cen = cp[:, :, 0:3].astype(f64) + cp[:, :, 3:6].astype(f64)
     dv = jnp.where(cell_valid[:, :, None],
-                   centroids[KS] - xv[:, None, :], 0.0)       # (B,E,3)
+                   cen - xv[:, None, :], 0.0)                 # (B,E,3)
 
     Ix = jnp.sum(dv[:, :, 0], axis=1)
     Iy = jnp.sum(dv[:, :, 1], axis=1)
@@ -120,7 +126,7 @@ class LSInterpolation:
                                     batch_align=balign):
             args = (bucket["nodes"], bucket["valid"],
                     dgrid.esup2d, dgrid.esup_cnt,
-                    dgrid.point_coords, dgrid.centroids)
+                    dgrid.point_pack, dgrid.cell_pack)
             if mesh is None:
                 w = _ls_bucket_kernel(*args, E=bucket["E"])
             else:

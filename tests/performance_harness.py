@@ -145,11 +145,14 @@ def run(families, levels, methods, repeats, case_name="ALH", seed=0,
                     ftimes.append(time.perf_counter() - t0)
                 interp.delivery_f32 = False
                 rec["time_f32"].append(round(min(ftimes), 4))
-                if rss == "subprocess":
+                if rss == "subprocess" or (rss == "subprocess-last"
+                                           and n == levels[-1]):
                     mb = subprocess_rss(fam, n, m, case_name, seed)
                     rec["memory"].append(mb)
                 elif rss == "inprocess":
                     rec["memory"].append(round(peak_rss_mb(), 1))
+                else:
+                    rec["memory"].append(None)
                 print(f"    {m}: host {min(times):.3f}s device "
                       f"{min(dtimes):.3f}s f32 {min(ftimes):.3f}s "
                       f"err={err:.3e} mem={rec['memory'][-1:]}",
@@ -170,7 +173,8 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--case", default="ALH")
     ap.add_argument("--rss", default="subprocess",
-                    choices=["subprocess", "inprocess", "none"])
+                    choices=["subprocess", "subprocess-last", "inprocess",
+                             "none"])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
