@@ -1,4 +1,4 @@
-"""Headline benchmark: GLS node weights on a ~1M-cell tet mesh, one TPU.
+"""Headline benchmark: GLS node weights on a ~1.9M-cell tet mesh, one TPU.
 
 Prints ONE JSON line:
   {"metric": ..., "value": <Mnodes/s>, "unit": "Mnodes/s",
@@ -14,7 +14,9 @@ JSON as extra keys): max relative error of the mixed-precision path vs the
 exact float64 Householder path (which the test suite pins to LAPACK dgels
 within ~1e-13) on a node subsample, plus grid build time.
 
-Scale knobs via env: NINPOL_BENCH_N (default 55 -> 6*55^3 = 997,875 cells).
+Scale knobs via env: NINPOL_BENCH_N (default 68 -> 6*68^3 = 1,886,592
+cells, 328,509 points — the scale of the reference's own largest tetra
+benchmark row, performance.yaml: 1,950,720 cells / 309,293 points).
 """
 import json
 import os
@@ -108,7 +110,7 @@ def build_K_at(p):  # pragma: no cover - only for safety above
     return K
 
 
-_partial = {"metric": "GLS node-weights throughput, ~1M-cell tet mesh, "
+_partial = {"metric": "GLS node-weights throughput, ~1.9M-cell tet mesh, "
                       "single TPU chip (INCOMPLETE: watchdog fired during "
                       "compile)", "value": 0.0, "unit": "Mnodes/s",
             "vs_baseline": 0.0}
@@ -127,7 +129,7 @@ def main():
     timer = threading.Timer(timeout_s, _watchdog)
     timer.daemon = True
     timer.start()
-    n = int(os.environ.get("NINPOL_BENCH_N", "55"))
+    n = int(os.environ.get("NINPOL_BENCH_N", "68"))
     t_all = time.perf_counter()
     interp, build_time = build_problem(n)
     # experimentation knob: single-round CholQR preconditioner
@@ -245,10 +247,10 @@ def main():
           file=sys.stderr)
 
     result = {
-        "metric": ("GLS node-weights throughput, ~1M-cell tet mesh, "
-                   "single TPU chip, host-complete (device-complete in "
-                   "device_mnodes_s; max rel err vs dgels-equivalent in "
-                   "max_rel_err)"),
+        "metric": ("GLS node-weights throughput, ~1.9M-cell tet mesh "
+                   "(reference's largest tetra scale), single TPU chip, "
+                   "host-complete (device-complete in device_mnodes_s; "
+                   "max rel err vs dgels-equivalent in max_rel_err)"),
         "value": round(mnodes, 4),
         "unit": "Mnodes/s",
         "vs_baseline": round(mnodes / BASELINE_MNODES_S, 2),

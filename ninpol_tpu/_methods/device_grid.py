@@ -37,13 +37,6 @@ def _ladder_up(x):
     return _round_up(x, 64)
 
 
-def _pow2_up(x, lo):
-    b = int(lo)
-    while b < x:
-        b *= 2
-    return b
-
-
 def _pow2_down(x, lo):
     b = int(lo)
     while b * 2 <= x:
@@ -217,33 +210,27 @@ class DeviceGrid:
                     csize,
                     _pow2_down(max(chunk_elems // (m_pad * n_pad), 1),
                                batch_align)))
-            # Full chunks share one compiled shape.  The tail becomes
-            # either ONE padded power-of-two chunk or TWO (pow2-down +
-            # padded remainder), whichever wastes less padding — a
-            # single pad-to-next-pow2 wasted up to ~2x compute (an
-            # 18k-node Neumann bucket padded to 32k), while a full
-            # binary decomposition would multiply the number of
-            # distinct (E, F, B) programs, each costing minutes of
-            # compile/load through the remote helper.
+            # Full chunks share one compiled shape; the tail is covered
+            # greedily by quanta from the fixed geometric ladder
+            # csize/4^k (floored at batch_align), so a bucket class
+            # compiles at most ~log4(csize/batch_align) (E, F, B)
+            # programs — every distinct program costs minutes of
+            # compile/load through the remote helper (the round-2
+            # free-form power-of-two tails put warm start at ~10
+            # minutes) — while the final chunk pads by at most 3x its
+            # real nodes (a single fixed quantum padded tiny CPU-test
+            # meshes 27 -> 8192 nodes: 70 s/call, suite-breaking).
             n_full = len(p) // csize
             plan = [(csize, csize)] * n_full
             rem = len(p) - n_full * csize
-            if rem:
-                if rem <= batch_align:
-                    plan.append((batch_align, rem))
+            q = max(batch_align, csize // 4)
+            while rem > 0:
+                if rem >= q or q <= batch_align:
+                    take = min(rem, q)
+                    plan.append((q, take))
+                    rem -= take
                 else:
-                    one = min(csize, _pow2_up(rem, batch_align))
-                    half = _pow2_down(rem, batch_align)
-                    rem2 = rem - half
-                    two_pad = (0 if rem2 == 0
-                               else min(half, _pow2_up(
-                                   max(rem2, batch_align), batch_align))
-                               - rem2)
-                    if rem2 == 0 or one - rem <= two_pad:
-                        plan.append((one, rem))
-                    else:
-                        plan.append((half, half))
-                        plan.append((two_pad + rem2, rem2))
+                    q = max(batch_align, q // 4)
             lo = 0
             for B, take in plan:
                 pc = p[lo:lo + take]

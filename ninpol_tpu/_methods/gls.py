@@ -70,7 +70,7 @@ _FORCE_FUSED = False
 def _gls_bucket_impl(
         nodes, valid,                       # (B,), (B,)
         esup2d, esup_cnt, fsup2d, fsup_cnt,
-        point_pack, cell_pack, face_ipack, face_pack,
+        point_pack, cell_pack, face_pack,
         neumann_flag, nval_h, nval_l,
         *, E, F, n_refine=2, exact=False, neumann_compat=True,
         with_neumann=True, solver="cholqr", fused=False, rounds=2):
@@ -80,12 +80,12 @@ def _gls_bucket_impl(
     n = 3 * E + 1
 
     # ---- gather stencils -------------------------------------------------
-    # XLA TPU gathers cost ~8 cycles/row independent of width (measured
-    # on this chip: the old 17 narrow per-array gathers took as long as
-    # the entire fused solve kernel), so everything per-entity comes
-    # from ONE wide packed-row gather: point_pack (6 f32), cell_pack
-    # (6 f32), face_ipack (7 i32: esuf | boundary | inpofa), face_pack
-    # (32 f32: nrm/fcc/nL1/nL2/nLb hi+lo, eta hi+lo).
+    # XLA TPU gathers cost ~8 cycles/row independent of width up to
+    # 32 f32 columns (measured on this chip: the old 17 narrow
+    # per-array gathers took as long as the entire fused solve kernel),
+    # so everything per-entity comes from ONE packed-row gather:
+    # point_pack (6 f32), cell_pack (6 f32), face_pack (32 f32, layout
+    # below).
     KSetv = esup2d[nodes, :E]                                   # (B,E)
     n_elem = jnp.minimum(esup_cnt[nodes], E)                    # (B,)
     cell_valid = (jnp.arange(E)[None, :] < n_elem[:, None]) & (KSetv >= 0)
@@ -96,16 +96,30 @@ def _gls_bucket_impl(
     face_valid = (jnp.arange(F)[None, :] < n_face[:, None]) & (Sv >= 0)
     SF = jnp.where(face_valid, Sv, 0)
 
-    fp_i = face_ipack[SF]                                       # (B,F,7)
-    pair = fp_i[:, :, 0:2]
-    bface = fp_i[:, :, 2]
-    fpts = fp_i[:, :, 3:7]                                      # (B,F,4)
+    # ONE 32-column gather row per (node, face).  32 f32 = 128 bytes is
+    # the widest row the TPU gather fast path handles (a 40-wide row
+    # measured 2x slower than TWO narrow gathers); the row fits by (a)
+    # dropping the boundary flag — a boundary face is exactly one with
+    # a single adjacent cell, i.e. esuf[1] < 0 (topology.py:237-239) —
+    # and (b) dropping nLb, which is bit-identical to nL1 (both are
+    # perm[first_cell] @ N, see precompute_face_data).  The barrier
+    # pins the single full-row gather: without it XLA fuses the slices
+    # below INTO the gather, splitting it into lane-offset gathers that
+    # hit a ~50x slower path (measured).
     fpk = face_pack[SF]                                         # (B,F,32)
+    fpk = jax.lax.optimization_barrier(fpk)
+    # pure data movement (gather + slice) preserves the int bit
+    # patterns; no float arithmetic ever touches columns 0:6
+    fp_i = jax.lax.bitcast_convert_type(fpk[:, :, 0:6], jnp.int32)
+    fpk = fpk[:, :, 6:]                                         # (B,F,26)
+    pair = fp_i[:, :, 0:2]
+    bnd = pair[:, :, 1] < 0                                     # boundary
+    fpts = fp_i[:, :, 2:6]                                      # (B,F,4)
     cpk = cell_pack[KS]                                         # (B,E,6)
     ppk = point_pack[nodes]                                     # (B,6)
 
     is_neu = neumann_flag[nodes] != 0
-    n_bface = jnp.sum(face_valid & (bface != 0), axis=1)
+    n_bface = jnp.sum(face_valid & bnd, axis=1)
     skip_build = n_bface >= n_face                              # gls.pyx:266
     # Dirichlet-boundary nodes are excluded by the caller's bucket mask.
     active = valid & ~skip_build
@@ -122,7 +136,7 @@ def _gls_bucket_impl(
     Ij2 = jnp.argmax(S2, axis=2)
 
     if with_neumann:
-        bmask = face_valid & (bface != 0) & is_neu[:, None]
+        bmask = face_valid & bnd & is_neu[:, None]
         owner = jnp.where(bmask, pair[:, :, 0], 0)
         Sb = ((KS[:, None, :] == owner[:, :, None])
               & bmask[:, :, None] & cell_valid[:, None, :])
@@ -171,7 +185,7 @@ def _gls_bucket_impl(
         t2h = jnp.where(interior & ~degen, t2n2[0],
                         jnp.where(interior, f32(1e-30), f32(1.0)))
         t2l = jnp.where(interior & ~degen, t2n2[1], f32(0.0))
-        eta = (fpk[:, :, 30], fpk[:, :, 31])
+        eta = (fpk[:, :, 24], fpk[:, :, 25])
         tau = dd.exp2(dd.mul(dd.scale(eta, f32(-0.5)),
                              dd.log2((t2h, t2l))))              # (B,F)
         taub = (tau[0][:, :, None], tau[1][:, :, None])
@@ -181,7 +195,8 @@ def _gls_bucket_impl(
         tauT2m = pmask(dd.mul(taub, T2), im32)
         if with_neumann:
             bm32 = bmask.astype(f32)
-            nLb_s = pmask((fpk[:, :, 24:27], fpk[:, :, 27:30]),
+            # nLb == nL1 bit-exactly (perm[first] @ N both)
+            nLb_s = pmask((fpk[:, :, 12:15], fpk[:, :, 15:18]),
                           bm32[:, :, None])
             nvh = jnp.where(fp_valid, nval_h[fpts_safe], f32(0.0))
             nvl = jnp.where(fp_valid, nval_l[fpts_safe], f32(0.0))
@@ -262,7 +277,7 @@ def _gls_bucket_impl(
                     to64(cpk, 0, 3, 3, 6) - xv[:, None, :], 0.0)
     Nf = to64(fpk, 0, 3, 3, 6)                                  # (B,F,3)
     fc = to64(fpk, 6, 9, 9, 12)
-    eta = to64(fpk, 30, 31, 31, 32)[..., 0]
+    eta = to64(fpk, 24, 25, 25, 26)[..., 0]
     T1 = xv[:, None, :] - fc                                    # (B,F,3)
     T2 = jnp.cross(Nf, T1)
     T2n = jnp.sqrt(jnp.sum(T2 * T2, axis=2))
@@ -281,7 +296,7 @@ def _gls_bucket_impl(
     if with_neumann:
         bm = bmask[:, :, None].astype(f64)
         Sbf = Sb.astype(f64)
-        nLbm = to64(fpk, 24, 27, 27, 30) * bm
+        nLbm = to64(fpk, 12, 15, 15, 18) * bm   # nLb == nL1 bit-exactly
         nvals = jnp.where(
             fp_valid,
             (nval_h[fpts_safe].astype(f64)
@@ -654,7 +669,7 @@ _gls_bucket_kernel = partial(
 # are replicated (per-node weights are node-local, SURVEY §2.3: stencil
 # gathers stay device-local; XLA inserts no collectives).  This is the
 # TPU-native analogue of adding OpenMP threads in the reference.
-_N_REPLICATED_ARGS = 11     # every positional arg after (nodes, valid)
+_N_REPLICATED_ARGS = 10     # every positional arg after (nodes, valid)
 _sharded_cache = {}
 
 
@@ -790,7 +805,7 @@ class GLSInterpolation:
             # straight into ONE preallocated buffer — concatenating
             # per-piece temporaries peaked ~1 GB higher at 2M-cell
             # scale (fresh-subprocess VmHWM).
-            flux = np.empty((grid.n_faces, 20), np.float32)
+            flux = np.empty((grid.n_faces, 14), np.float32)
 
             def sp_into(a, lo_col):
                 a = np.asarray(a, np.float64).reshape(grid.n_faces, -1)
@@ -802,11 +817,18 @@ class GLSInterpolation:
 
             sp_into(nL1g, 0)
             sp_into(nL2g, 6)
-            sp_into(nLbg, 12)
-            sp_into(etag, 18)
+            sp_into(etag, 12)
             del nL1g, nL2g, nLbg, etag
+            # EXACTLY 32 f32 columns — the widest row the TPU gather
+            # fast path handles (see _gls_bucket_impl): topology
+            # columns ride bitcast in the same row (bit patterns
+            # preserved through gather/slice), the boundary flag and
+            # nLb columns are derived in-kernel
+            ip_f = jax.lax.bitcast_convert_type(dgrid.face_ipack,
+                                                jnp.float32)
             face_pack = jnp.concatenate(
-                [dgrid.nrm_h, dgrid.nrm_l, dgrid.fcc_h, dgrid.fcc_l,
+                [ip_f[:, 0:2], ip_f[:, 3:7],
+                 dgrid.nrm_h, dgrid.nrm_l, dgrid.fcc_h, dgrid.fcc_l,
                  jnp.asarray(flux)], axis=1)
             del flux
             nvraw = np.asarray(points_data[nv_idx], np.float64)
@@ -829,7 +851,7 @@ class GLSInterpolation:
             args = (
                 bucket["nodes"], bucket["valid"],
                 dgrid.esup2d, dgrid.esup_cnt, dgrid.fsup2d, dgrid.fsup_cnt,
-                dgrid.point_pack, dgrid.cell_pack, dgrid.face_ipack,
+                dgrid.point_pack, dgrid.cell_pack,
                 *face_dev)
             statics = dict(
                 E=bucket["E"], F=bucket["F"], n_refine=self.n_refine,

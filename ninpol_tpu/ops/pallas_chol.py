@@ -18,11 +18,16 @@ Hard-won facts this design encodes (measured on this chip):
     grid-dimension sequential steps ~2x (and Mosaic here cannot
     legalize lax loops in kernels anyway);
   * sublane-offset slices cost relayout work — the working width is
-    padded to a sublane multiple (n_pad) and every heavy pass runs on
-    8-aligned slabs: 8-column Gram slabs (_gram_cols_into), 8-wide
-    Cholesky panels (_chol_panels), 8-row blocked inverse rows
-    (_linv_rows), 8-column Q accumulation (_form_q), each sharing one
-    read of its large operand across the 8 lanes of work.
+    padded to a sublane multiple (n_pad) and every heavy sequential pass
+    runs on 8-aligned slabs: 8-wide Cholesky panels (_chol_panels),
+    8-row blocked inverse rows (_linv_rows), each sharing one read of
+    its large operand across the 8 lanes of work;
+  * the three heavy MATMUL stages (Gram1, Q = A Li1^T, Gram2) are the
+    exception to the VPU rule: as batched per-node dot_generals on a
+    VMEM-transposed (NT, m, n) copy they run at 686 ns/node combined vs
+    ~1730 ns/node for the VPU slab forms (tools/mxu_probe.py) — the old
+    "1.2 us/node DMA-bound" lore was for HBM-resident per-node tiles
+    and does NOT apply inside the fused kernel.
 
 Float32 suffices for the preconditioner because CholQR2's residual is
 ~eps32*sqrt(m) independent of cond(A); the df32 sweeps restore
@@ -133,25 +138,6 @@ def _iota_eq(shape, axis, k):
             == k).astype(_F32)
 
 
-def _gram_cols_into(a, gscr, n_pad, diag_vec):
-    """gscr[j] (COLUMN plane j) <- column j of A^T A (+ diag_vec on the
-    diagonal), in 8-column slabs sharing ONE read of the trailing column
-    block.  n_pad is a sublane multiple, so every slab slice is aligned
-    (the per-column sublane-offset slices of the previous design were
-    the measured hot spot).  Entries at rows j0..j-1 of column j are
-    upper-triangle extras the Cholesky never reads.
-
-    a: (m, n_pad, NT) value; gscr: (n_pad, n_pad, NT) ref with
-    gscr[c, r, :] = G[r, c]."""
-    for j0 in range(0, n_pad, 8):
-        sl = a[:, j0:, :]                              # (m, n_pad-j0, NT)
-        for c in range(8):
-            j = j0 + c
-            col = jnp.sum(sl * sl[:, c:c + 1, :], axis=0)
-            first = _iota_eq((n_pad - j0, NT), 0, c)
-            gscr[j, j0:, :] = col + first * diag_vec[j][None, :]
-
-
 def _chol_panels(gscr, n_pad, tiny):
     """Blocked (8-wide panel) Cholesky of G stored by COLUMN planes:
     gscr[c, r, :] = G[r, c] on entry, L[r, c] on exit (entries above the
@@ -194,8 +180,7 @@ def _linv_rows(gscr, li_scr, n_pad, dinvs, mul=None):
     from gscr column planes (as left by _chol_panels).
 
     Rows are exactly zero right of the diagonal by construction (the
-    one-hot base and the triangular ``mul`` rows guarantee it), which
-    _form_q exploits."""
+    one-hot base and the triangular ``mul`` rows guarantee it)."""
     for k0 in range(0, n_pad, 8):
         acc = jnp.zeros((8, n_pad, NT), _F32)
         if k0:
@@ -216,22 +201,30 @@ def _linv_rows(gscr, li_scr, n_pad, dinvs, mul=None):
             li_scr[k, :, :] = row
 
 
-def _form_q(a, li1, q_scr, m, n_pad):
-    """q_scr <- A @ Li1^T: eight output columns per pass share the
-    stream over A's columns (the previous per-column form re-read all of
-    A once per output column — the kernel's largest VMEM traffic)."""
-    for i0 in range(0, n_pad, 8):
-        acc = jnp.zeros((m, 8, NT), _F32)
-        for j in range(min(i0 + 8, n_pad)):            # Li1 is triangular
-            acc = acc + (a[:, j:j + 1, :]
-                         * li1[i0:i0 + 8, j, :][None, :, :])
-        q_scr[:, i0:i0 + 8, :] = acc
+def _gram_mxu(at, g_scr, n_pad, diag_vec):
+    """g_scr <- A^T A + diag(diag_vec) via ONE batched per-node MXU
+    dot_general.  ``at`` is the tile in MXU layout (NT, m, n_pad) — each
+    node a 2D matrix on the (sublane, lane) axes.  Measured (v5e,
+    E=24/F=40): 279 ns/node INCLUDING both cross-layout transposes vs
+    530 ns/node for the VPU slab Gram (tools/mxu_probe.py); dot
+    precision HIGHEST (f32-true, 6-pass bf16) is free — the dot is not
+    MXU-throughput-bound at these sizes.  G is symmetric, so the
+    back-transpose to the (col, row, NT) column planes _chol_panels
+    expects is just (1, 2, 0)."""
+    g = jax.lax.dot_general(
+        at, at, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=_F32, precision=jax.lax.Precision.HIGHEST)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+           ).astype(_F32)
+    g_scr[:] = (jnp.transpose(g, (1, 2, 0))
+                + eye[:, :, None] * diag_vec[:, None, :])
 
 
 def _solve_kernel(dkh, dkl, l1h, l1l, l2h, l2l, t1h, t1l, tth, ttl,
                   lbh, lbl, ij1, ij2, ikb, cv, af, nmh, nml,
                   wh_ref, wl_ref, wnh_ref, wnl_ref, rn_ref,
-                  a_scr, q_scr, g_scr, li_scr,
+                  a_scr, g_scr, li_scr,
                   *, E, F, n, n_pad, m, sweeps, with_neumann, tiny, shift,
                   rounds=2):
     from . import df32 as dd
@@ -266,20 +259,32 @@ def _solve_kernel(dkh, dkl, l1h, l1l, l2h, l2l, t1h, t1l, tth, ttl,
                 -Sb * lbh[0][:, c, :][:, None, :])
     a_scr[0:E, 3 * E:3 * E + 1, :] = cv0[:, None, :]
 
-    # ---- shifted CholQR2 preconditioner
+    # ---- shifted CholQR2 preconditioner.  The three heavy matmul
+    # stages (Gram1, Q = A Li1^T, Gram2) run as batched per-node MXU
+    # dot_generals on a once-transposed copy of the tile; Cholesky,
+    # L^{-1} and the df32 sweeps stay in the VPU layout (sequential
+    # per-element algebra is where lane-parallelism wins).
     a = a_scr[:]
     d2 = jnp.sum(a * a, axis=0)
     deadm = (d2 == 0).astype(_F32)
     D = jax.lax.rsqrt(jnp.where(d2 == 0, _F32(1), d2)) * (1 - deadm)
     a = a * D[None, :, :]
-    _gram_cols_into(a, g_scr, n_pad, deadm + _F32(shift))
+    at = jnp.transpose(a, (2, 0, 1))                   # (NT, m, n_pad)
+    _gram_mxu(at, g_scr, n_pad, deadm + _F32(shift))
     dinv1 = _chol_panels(g_scr, n_pad, tiny)
     _linv_rows(g_scr, li_scr, n_pad, dinv1)
     li1 = li_scr[:]
     dmax = jnp.zeros((NT,), _F32)
     if rounds >= 2:
-        _form_q(a, li1, q_scr, m, n_pad)
-        _gram_cols_into(q_scr[:], g_scr, n_pad, deadm)
+        # Q = A Li1^T never materializes outside registers/VMEM values:
+        # it feeds straight into the round-2 Gram (the q_scr scratch of
+        # the slab design is gone)
+        qt = jax.lax.dot_general(
+            at, jnp.transpose(li1, (2, 0, 1)),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=_F32,
+            precision=jax.lax.Precision.HIGHEST)       # (NT, m, n_pad)
+        _gram_mxu(qt, g_scr, n_pad, deadm)
         # Lc = L2^{-1} @ Li1 (fused via mul=li1): M r = Lc^T (Lc r).
         dinv2 = _chol_panels(g_scr, n_pad, tiny)
         _linv_rows(g_scr, li_scr, n_pad, dinv2, mul=li1)
@@ -454,7 +459,6 @@ def gls_solve_fused(dKv_h, dKv_l, nL1_h, nL1_l, nL2_h, nL2_l,
                    jax.ShapeDtypeStruct((G, 1, NT), _F32),
                    jax.ShapeDtypeStruct((G, 1, NT), _F32)],
         scratch_shapes=[pltpu.VMEM((m, n_pad, NT), _F32),
-                        pltpu.VMEM((m, n_pad, NT), _F32),
                         pltpu.VMEM((n_pad, n_pad, NT), _F32),
                         pltpu.VMEM((n_pad, n_pad, NT), _F32)],
         compiler_params=pltpu.CompilerParams(

@@ -1,10 +1,10 @@
 """Per-stage microbenchmark of the fused-solve helpers on real TPU.
 
 Times pallas kernels that wrap exactly the stage helpers of
-ops/pallas_chol (_gram_cols_into, _chol_panels + _linv_rows, _form_q,
-and the df32 sweep operator cost via a Mapply-style pass) on synthetic
-VMEM-resident tiles at the production shape.  Small programs -> fast
-compiles -> quick iteration on the helper implementations.
+ops/pallas_chol (_gram_mxu, _chol_panels + _linv_rows, the MXU
+Q = A Li^T dot, and the df32 sweep operator cost via a Mapply-style
+pass) on synthetic VMEM-resident tiles at the production shape.  Small
+programs -> fast compiles -> quick iteration on the helpers.
 
 Usage: python tools/kernel_stages.py [G] (default 128 tiles = 16k nodes)
 """
@@ -25,8 +25,7 @@ def main():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from ninpol_tpu.ops.pallas_chol import (
-        NT, _VMEM_LIMIT, _chol_panels, _form_q, _gram_cols_into,
-        _linv_rows)
+        NT, _VMEM_LIMIT, _chol_panels, _gram_mxu, _linv_rows)
 
     G = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     E, F = 24, 40
@@ -62,18 +61,18 @@ def main():
               f"{dt/B*1e9:.0f} ns/node", flush=True)
         return dt
 
-    # ---- stage: Gram ------------------------------------------------------
+    # ---- stage: Gram (MXU, incl. transpose in) ----------------------------
     def gram_kernel(a_ref, o_ref):
-        a = a_ref[0]
+        at = jnp.transpose(a_ref[0], (2, 0, 1))
         dv = jnp.zeros((n_pad, NT), f32)
-        _gram_cols_into(a, o_ref.at[0], n_pad, dv)
+        _gram_mxu(at, o_ref.at[0], n_pad, dv)
 
     gram = jax.jit(lambda a: pl.pallas_call(
         gram_kernel, grid=(G,), in_specs=[sp(m, n_pad, NT)],
         out_specs=sp(n_pad, n_pad, NT),
         out_shape=jax.ShapeDtypeStruct((G, n_pad, n_pad, NT), f32),
         compiler_params=cp)(a))
-    timeit("gram (m x n^2/2 slabbed)", lambda: gram(A),
+    timeit("gram (MXU + transposes)", lambda: gram(A),
            lambda o: o[:1, :1, :1, :1])
 
     # ---- stage: chol + linv ----------------------------------------------
@@ -91,17 +90,22 @@ def main():
     timeit("chol panels + linv rows", lambda: chol(Gm),
            lambda o: o[:1, :1, :1, :1])
 
-    # ---- stage: Q = A Li^T ------------------------------------------------
+    # ---- stage: Q = A Li^T (MXU, incl. transposes in) ---------------------
     def q_kernel(a_ref, li_ref, q_ref):
-        _form_q(a_ref[0], li_ref[0], q_ref.at[0], m, n_pad)
+        at = jnp.transpose(a_ref[0], (2, 0, 1))        # (NT, m, n)
+        lt = jnp.transpose(li_ref[0], (2, 0, 1))       # (NT, n, n)
+        q_ref[0] = jax.lax.dot_general(
+            at, lt, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST)
 
     qf = jax.jit(lambda a, li: pl.pallas_call(
         q_kernel, grid=(G,),
         in_specs=[sp(m, n_pad, NT), sp(n_pad, n_pad, NT)],
-        out_specs=sp(m, n_pad, NT),
-        out_shape=jax.ShapeDtypeStruct((G, m, n_pad, NT), f32),
+        out_specs=sp(NT, m, n_pad),
+        out_shape=jax.ShapeDtypeStruct((G, NT, m, n_pad), f32),
         compiler_params=cp)(a, li))
-    timeit("Q = A Li^T (slab acc)", lambda: qf(A, Gm),
+    timeit("Q = A Li^T (MXU + transposes)", lambda: qf(A, Gm),
            lambda o: o[:1, :1, :1, :1])
 
     # ---- stage: Mapply (2 triangular matvecs) -----------------------------

@@ -37,8 +37,30 @@ def main():
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-    from ninpol_tpu.ops.pallas_chol import (NT, _VMEM_LIMIT, _form_q,
-                                            _gram_cols_into)
+    from ninpol_tpu.ops.pallas_chol import NT, _VMEM_LIMIT
+
+    # Superseded VPU slab forms, kept here as the measurement baseline
+    # (removed from pallas_chol once the MXU forms won).
+    def _iota_eq(shape, axis, kk):
+        return (jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+                == kk).astype(jnp.float32)
+
+    def _gram_cols_into(a, gscr, n_pad, diag_vec):
+        for j0 in range(0, n_pad, 8):
+            sl = a[:, j0:, :]
+            for c in range(8):
+                j = j0 + c
+                col = jnp.sum(sl * sl[:, c:c + 1, :], axis=0)
+                first = _iota_eq((n_pad - j0, NT), 0, c)
+                gscr[j, j0:, :] = col + first * diag_vec[j][None, :]
+
+    def _form_q(a, li1, q_scr, m, n_pad):
+        for i0 in range(0, n_pad, 8):
+            acc = jnp.zeros((m, 8, NT), jnp.float32)
+            for j in range(min(i0 + 8, n_pad)):
+                acc = acc + (a[:, j:j + 1, :]
+                             * li1[i0:i0 + 8, j, :][None, :, :])
+            q_scr[:, i0:i0 + 8, :] = acc
 
     G = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     E, F = 24, 40

@@ -133,7 +133,7 @@ def main():
             if (b["E"], b["F"], len(b["pos"])) == (E, F, B))
         args = (jnp.asarray(bucket["nodes"]), jnp.asarray(bucket["valid"]),
                 dg.esup2d, dg.esup_cnt, dg.fsup2d, dg.fsup_cnt,
-                dg.point_pack, dg.cell_pack, dg.face_ipack, *fc)
+                dg.point_pack, dg.cell_pack, *fc)
 
         def full_chunk():
             return _gls_bucket_kernel(
@@ -150,7 +150,7 @@ def main():
         # ---- packed-gather cost check --------------------------------
         import jax
         (nodes_d, valid_d, esup2d, esup_cnt, fsup2d, fsup_cnt,
-         point_pack, cell_pack, face_ipack, face_pack,
+         point_pack, cell_pack, face_pack,
          nflag, nval_h, nval_l) = args
 
         @jax.jit
@@ -158,8 +158,7 @@ def main():
             KS = jnp.clip(esup2d[nodes, :E], 0, None)
             SF = jnp.clip(fsup2d[nodes, :F], 0, None)
             return (point_pack[nodes].sum() + cell_pack[KS].sum()
-                    + face_pack[SF].sum()
-                    + face_ipack[SF].sum().astype(jnp.float32))
+                    + face_pack[SF].sum())
 
         sync(gathers_only(nodes_d))
         dtg = time_dispatches(lambda: gathers_only(nodes_d),
