@@ -5,8 +5,11 @@ PY ?= python
 
 all: native
 
+# -ffp-contract=off is REQUIRED: the f32 geometry kernels must stay
+# bit-identical to the NumPy reference path (FMA contraction changes
+# the normals' rounding and breaks the float32-parity tests)
 native:
-	g++ -O3 -march=native -shared -fPIC -std=c++17 \
+	g++ -O3 -march=native -ffp-contract=off -shared -fPIC -std=c++17 \
 	    ninpol_tpu/native/topology.cpp -o ninpol_tpu/native/_ninpol_topology.so
 
 test:

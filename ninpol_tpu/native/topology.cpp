@@ -18,6 +18,7 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <unordered_map>
 #include <vector>
@@ -132,22 +133,39 @@ i64 build_faces(i64 n_elems, i64 n_points, i64 stride,
                 i64* boundary_faces, i64* boundary_points) {
     // Open-addressing table (linear probing): ~3x faster than
     // std::unordered_map for this insert-heavy one-shot workload.
-    // Sized from the actual half-face count (worst case every half-face
-    // is unique => load factor <= 0.5; typically ~0.25): halves the
-    // memory footprint vs sizing from n_elems * max_fpe.
+    // Sized from the half-face count: paired entries are consumed, so
+    // live entries never exceed the UNIQUE face count (~total_hf/2 on
+    // conforming meshes; worst case all-boundary = total_hf -> load
+    // factor <= 0.5 at cap ~= total_hf).  At 1.9M tets the dominant
+    // cost is PAGE FAULTS on fresh pages, not probing (first call
+    // 3.6 s vs 0.8 s with warm pages), so the table is kept in a
+    // grow-only thread_local buffer reused across calls and sized as
+    // small as the load factor allows.
     i64 total_hf = 0;
     for (i64 e = 0; e < n_elems; ++e) total_hf += nfael[etypes[e]];
     size_t cap = 64;
-    while (cap < (size_t)total_hf * 2) cap <<= 1;
+    // +25% headroom keeps worst-case (all-unique) load factor <= 0.8
+    while (cap < (size_t)total_hf + (size_t)total_hf / 4) cap <<= 1;
     const size_t mask = cap - 1;
     struct Slot { FaceKey key; int32_t elem, slot; };  // 24 bytes
-    // slot == -2 marks a consumed (already paired) entry
-    std::vector<Slot> table(cap);
-    std::memset(table.data(), 0xFF, cap * sizeof(Slot));  // elem = -1
+    // slot == -2 marks a consumed (already paired) entry.  Raw grow-only
+    // thread_local buffer: std::vector::resize value-initializes, which
+    // would touch the whole table a second time on top of the memset.
+    static thread_local Slot* table = nullptr;
+    static thread_local size_t table_cap = 0;
+    if (table_cap < cap) {
+        ::free(table);
+        table = (Slot*)::malloc(cap * sizeof(Slot));
+        table_cap = table ? cap : 0;
+        if (!table) return -2;  // allocation failure (wrapper raises)
+    }
+    std::memset(table, 0xFF, cap * sizeof(Slot));  // elem = -1
     FaceKeyHash hasher;
 
-    std::fill(infael, infael + n_elems * max_fpe, (i64)-1);
-    std::fill(esuel, esuel + n_elems * max_fpe, (i64)-1);
+    // infael/esuel padding slots (-1) are written inside the walk, on
+    // the same cache lines as the real writes, instead of a separate
+    // two-array full pass here: fresh-page faults on these ~120 MB
+    // arrays dominate a process's first build, not the hash probing.
     std::memset(boundary_points, 0, sizeof(i64) * n_points);
 
     // The table walk is a dependent random-access chain; batching the key
@@ -167,6 +185,12 @@ i64 build_faces(i64 n_elems, i64 n_points, i64 stride,
         while (nb < BATCH && e < n_elems) {
             const i64 t = etypes[e];
             const i64 nf = nfael[t];
+            if (j == 0) {           // first visit: init this row's slots
+                for (i64 k = 0; k < max_fpe; ++k) {
+                    infael[e * max_fpe + k] = -1;
+                    esuel[e * max_fpe + k] = -1;
+                }
+            }
             if (j >= nf) { ++e; j = 0; continue; }
             const i64* row = conn + e * stride;
             i64 pts[4] = {-1, -1, -1, -1};

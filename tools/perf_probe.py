@@ -121,7 +121,8 @@ def main():
             k = (b["E"], b["F"], len(b["pos"]))
             shapes[k] = shapes.get(k, 0) + 1
         print("interior bucket shapes:", shapes, flush=True)
-        E, F, B = max(shapes, key=shapes.get)
+        # production shape = the one covering the most nodes
+        E, F, B = max(shapes, key=lambda k: shapes[k] * k[2])
 
         # full bucket kernel (prologue + fused solve) on one real chunk
         import jax.numpy as jnp

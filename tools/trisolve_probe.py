@@ -17,8 +17,11 @@ Verdict rule: solves win iff  c - b < a.
 
 Usage: python tools/trisolve_probe.py [G]  (default 64 tiles = 8k nodes)
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -71,7 +74,7 @@ def main():
         gs = o_ref.at[0]
         gs[:] = g_ref[0]
         dinvs = _chol_panels(gs, n_pad, 1e-12)
-        li_scr[0, 0, :] = dinvs[0][None, :]  # keep alive
+        li_scr[0, 0, :] = dinvs[0]  # keep alive
 
     chol = jax.jit(lambda g: pl.pallas_call(
         chol_kernel, grid=(G,), in_specs=[sp(n_pad, n_pad, NT)],
