@@ -210,27 +210,29 @@ class DeviceGrid:
                     csize,
                     _pow2_down(max(chunk_elems // (m_pad * n_pad), 1),
                                batch_align)))
-            # Full chunks share one compiled shape; the tail is covered
-            # greedily by quanta from the fixed geometric ladder
-            # csize/4^k (floored at batch_align), so a bucket class
-            # compiles at most ~log4(csize/batch_align) (E, F, B)
-            # programs — every distinct program costs minutes of
-            # compile/load through the remote helper (the round-2
-            # free-form power-of-two tails put warm start at ~10
-            # minutes) — while the final chunk pads by at most 3x its
-            # real nodes (a single fixed quantum padded tiny CPU-test
-            # meshes 27 -> 8192 nodes: 70 s/call, suite-breaking).
+            # Full chunks share one compiled shape.  The tail becomes
+            # quantum chunks of csize/4 plus ONE final chunk snapped UP
+            # to the geometric ladder csize/4^k (floored at
+            # batch_align), so a bucket class touches at most THREE
+            # distinct (E, F, B) programs per run.  Every distinct
+            # program costs ~10 s of load through the remote helper
+            # even fully cached (the round-2 free-form power-of-two
+            # tails put warm start at ~10 minutes), while the final
+            # chunk pads by at most 4x its real nodes — a single fixed
+            # quantum instead padded tiny CPU-test meshes 27 -> 8192
+            # nodes (70 s/call, suite-breaking).
             n_full = len(p) // csize
             plan = [(csize, csize)] * n_full
             rem = len(p) - n_full * csize
             q = max(batch_align, csize // 4)
-            while rem > 0:
-                if rem >= q or q <= batch_align:
-                    take = min(rem, q)
-                    plan.append((q, take))
-                    rem -= take
-                else:
-                    q = max(batch_align, q // 4)
+            while rem >= q:
+                plan.append((q, q))
+                rem -= q
+            if rem > 0:
+                last = q
+                while last // 4 >= max(batch_align, rem):
+                    last //= 4
+                plan.append((max(batch_align, last), rem))
             lo = 0
             for B, take in plan:
                 pc = p[lo:lo + take]

@@ -285,10 +285,20 @@ def _solve_kernel(dkh, dkl, l1h, l1l, l2h, l2l, t1h, t1l, tth, ttl,
             preferred_element_type=_F32,
             precision=jax.lax.Precision.HIGHEST)       # (NT, m, n_pad)
         _gram_mxu(qt, g_scr, n_pad, deadm)
-        # Lc = L2^{-1} @ Li1 (fused via mul=li1): M r = Lc^T (Lc r).
+        # The round-2 factor L2 is used by Mapply through triangular
+        # SOLVES (O(n^2) per vector); the explicit combined inverse
+        # Lc = L2^{-1} Li1 of the earlier design cost another
+        # _linv_rows pass (~n^3/2 VPU flops/node, the kernel's single
+        # largest stage) for no flop savings in the 4 Mapply calls
+        # (tools/trisolve_probe.py: solves win ~3x).
         dinv2 = _chol_panels(g_scr, n_pad, tiny)
-        _linv_rows(g_scr, li_scr, n_pad, dinv2, mul=li1)
-        lc = li_scr[:]
+        # strictly-below-diagonal L2, column planes, masked once:
+        # lm[c, r, :] = L2[r, c] for r > c, else 0
+        rgt = (jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+               > jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+               ).astype(_F32)
+        lm = g_scr[:] * rgt[:, :, None]
+        d2stk = jnp.concatenate([d[None, :] for d in dinv2], axis=0)
         # breakdown detection looks at BOTH rounds: diag(Li1) = dinv1
         # and diag(Lc) = dinv1*dinv2 — a clamped round-1 pivot could
         # cancel against a tiny round-2 diagonal in the combined factor.
@@ -300,14 +310,30 @@ def _solve_kernel(dkh, dkl, l1h, l1l, l2h, l2l, t1h, t1l, tth, ttl,
         # residual contraction is ~eps32*cond(A) instead of
         # cond-independent, so more sweeps are run and ill-conditioned
         # nodes surface through rnorm -> the exact fallback.
-        lc = li1
         for k in range(n_pad):
             dmax = jnp.maximum(dmax, dinv1[k])
 
     def Mapply(rh, rl):
+        # M v = Li1^T L2^{-T} L2^{-1} Li1 v (rounds=2; M = Li1^T Li1
+        # for rounds=1).  The solves run as statically unrolled
+        # column sweeps on the masked column planes: forward never
+        # pins row k (updates only touch rows > k, so one final
+        # diagonal scale finishes it), backward pins with a one-hot.
         v = (rh + rl) * D
-        w1 = jnp.sum(lc * v[None, :, :], axis=1)
-        w2 = jnp.sum(lc * w1[:, None, :], axis=0)
+        u = jnp.sum(li1 * v[None, :, :], axis=1)       # Li1 v
+        if rounds >= 2:
+            for k in range(n_pad):                     # u <- L2^{-1} u
+                xk = u[k, :] * dinv2[k]
+                u = u - lm[k] * xk[None, :]
+            x = u * d2stk
+            y = x
+            for k in range(n_pad - 1, -1, -1):         # y <- L2^{-T} x
+                s = jnp.sum(lm[k] * y, axis=0)
+                yk = (x[k, :] - s) * dinv2[k]
+                pin = _iota_eq((n_pad, NT), 0, k)
+                y = y * (1 - pin) + pin * yk[None, :]
+            u = y
+        w2 = jnp.sum(li1 * u[:, None, :], axis=0)      # Li1^T u
         return w2 * D, jnp.zeros((n_pad, NT), _F32)
 
     # ---- df32 structured operator (permuted basis: component blocks
