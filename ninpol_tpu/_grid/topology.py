@@ -44,6 +44,28 @@ def _c(a):
     return np.ascontiguousarray(a, dtype=DTYPE_I)
 
 
+def hp_empty(shape, dtype=DTYPE_I):
+    """np.empty over an anonymous mmap with MADV_HUGEPAGE.
+
+    This environment (a microVM) faults fresh 4 KB pages at as little
+    as ~30 MB/s under host pressure, so first-touch of the ~0.5 GB of
+    topology outputs can dominate a 2M-cell grid build; transparent
+    huge pages (madvise mode here) cut the fault count 512x.  Falls
+    back to plain np.empty for small arrays or where madvise is
+    unavailable.  Anonymous mmap memory is zero-filled, so this also
+    serves as a zeros() allocator."""
+    nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
+    if nbytes < (8 << 20):
+        return np.empty(shape, dtype)
+    import mmap
+    try:
+        mm = mmap.mmap(-1, nbytes)
+        mm.madvise(mmap.MADV_HUGEPAGE)
+    except (AttributeError, OSError, ValueError):
+        return np.empty(shape, dtype)
+    return np.frombuffer(mm, dtype=dtype).reshape(shape)
+
+
 def _csr_from_pairs(owners, values, n_owners):
     """Build CSR (ptr, data) grouping ``values`` by ``owners``.
 
@@ -152,10 +174,10 @@ def build_faces(connectivity, element_types, nfael, lnofa, lpofa, n_points):
         # at 241 MB instead of 363 MB, and fresh-page faults on these
         # allocations dominate the build, not the hash walk itself
         cap = int(nfael[element_types].sum())
-        infael = np.empty((n_elems, F), dtype=DTYPE_I)
-        inpofa = np.empty((cap, MAX_POINTS_PER_FACE), dtype=DTYPE_I)
-        esuel = np.empty((n_elems, F), dtype=DTYPE_I)
-        bfaces = np.zeros(cap, dtype=DTYPE_I)
+        infael = hp_empty((n_elems, F))
+        inpofa = hp_empty((cap, MAX_POINTS_PER_FACE))
+        esuel = hp_empty((n_elems, F))
+        bfaces = np.zeros(cap, dtype=DTYPE_I)  # flags: only [:n_faces] read
         bpoints = np.zeros(n_points, dtype=DTYPE_I)
         n_faces = native.lib().build_faces(
             n_elems, n_points, connectivity.shape[1],

@@ -229,8 +229,9 @@ class Interpolator:
         n_points = mesh.points.shape[0]
         n_elems = sum(len(b) for b in mesh.cells
                       if b.type in self.types_per_dimension[dim])
-        connectivity = np.full((n_elems, MAX_POINTS_PER_ELEMENT), -1,
-                               dtype=DTYPE_I)
+        from ._grid.topology import hp_empty
+        connectivity = hp_empty((n_elems, MAX_POINTS_PER_ELEMENT))
+        connectivity.fill(-1)
         element_types = np.full(n_elems, -1, dtype=DTYPE_I)
 
         idx = 0
