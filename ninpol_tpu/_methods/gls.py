@@ -124,121 +124,74 @@ def _gls_bucket_impl(
     # Dirichlet-boundary nodes are excluded by the caller's bucket mask.
     active = valid & ~skip_build
 
-    interior = face_valid & (pair[:, :, 1] >= 0)
-    k1 = jnp.where(interior, pair[:, :, 0], 0)
-    k2 = jnp.where(interior, pair[:, :, 1], 0)
-
-    S1 = (KS[:, None, :] == k1[:, :, None]) & interior[:, :, None] \
-        & cell_valid[:, None, :]                                # (B,F,E)
-    S2 = (KS[:, None, :] == k2[:, :, None]) & interior[:, :, None] \
-        & cell_valid[:, None, :]
-    Ij1 = jnp.argmax(S1, axis=2)                                # (B,F)
-    Ij2 = jnp.argmax(S2, axis=2)
-
     if with_neumann:
-        bmask = face_valid & bnd & is_neu[:, None]
-        owner = jnp.where(bmask, pair[:, :, 0], 0)
-        Sb = ((KS[:, None, :] == owner[:, :, None])
-              & bmask[:, :, None] & cell_valid[:, None, :])
-        Ikb = jnp.argmax(Sb, axis=2)
         fp_valid = fpts >= 0
         fpts_safe = jnp.where(fp_valid, fpts, 0)
+    if not fused:
+        interior = face_valid & (pair[:, :, 1] >= 0)
+        k1 = jnp.where(interior, pair[:, :, 0], 0)
+        k2 = jnp.where(interior, pair[:, :, 1], 0)
+
+        S1 = (KS[:, None, :] == k1[:, :, None]) & interior[:, :, None] \
+            & cell_valid[:, None, :]                            # (B,F,E)
+        S2 = (KS[:, None, :] == k2[:, :, None]) & interior[:, :, None] \
+            & cell_valid[:, None, :]
+        Ij1 = jnp.argmax(S1, axis=2)                            # (B,F)
+        Ij2 = jnp.argmax(S2, axis=2)
+
+        if with_neumann:
+            bmask = face_valid & bnd & is_neu[:, None]
+            owner = jnp.where(bmask, pair[:, :, 0], 0)
+            Sb = ((KS[:, None, :] == owner[:, :, None])
+                  & bmask[:, :, None] & cell_valid[:, None, :])
+            Ikb = jnp.argmax(Sb, axis=2)
 
     if fused:
-        # ---- df32 prologue (TPU fast path) -------------------------------
-        # The geometric pieces are computed as error-free float32 hi/lo
-        # pairs straight from the pair-split device arrays: the former
-        # float64 prologue ran as emulated multi-pass f64 (gathers,
-        # subtractions, cross products ~ the dominant per-chunk XLA cost,
-        # VERDICT r2) — df32 hits ~2^-47 relative at plain-f32 VPU speed,
-        # well inside the 1e-10 parity budget (tau was already df32).
+        # ---- TPU fast path: tile the RAW packed gather rows and run
+        # EVERYTHING else — df32 geometric prologue (T1, cross, tau via
+        # df32 exp2/log2), one-hot incidence, assembly, shifted
+        # CholQR2, refinement sweeps, weight extraction — inside ONE
+        # Pallas pass per 128-node tile (ops/pallas_chol._solve_kernel).
+        # Only the gathers, the Neumann face-point mean (needs its own
+        # gather) and these tiling transposes remain in XLA: the former
+        # XLA df32 prologue plus its ~12 per-piece (G,K,3,NT)
+        # transposes were ~25% of chunk device time (VERDICT r2 #1).
         dd = df32
+        from ..ops.pallas_chol import NT as _NT, gls_solve_fused
+        Gt = B // _NT
+        i32 = lambda a: a.astype(jnp.int32)
 
-        def pmask(p, m32):
-            return p[0] * m32, p[1] * m32
+        def tile_kc(x):
+            """(B, K, C) -> (G, C, K, NT): component axis OUTERMOST so
+            every in-kernel component slice is a full sublane-aligned
+            (K, NT) plane."""
+            K, C = x.shape[1], x.shape[2]
+            return jnp.transpose(x.reshape(Gt, _NT, K, C), (0, 3, 2, 1))
 
-        def comp(p, c):
-            return p[0][..., c], p[1][..., c]
+        def tile_k(x):
+            """(B, K) -> (G, K, NT)."""
+            return jnp.transpose(x.reshape(Gt, _NT, -1), (0, 2, 1))
 
-        cv32 = cell_valid.astype(f32)
-        af32 = active.astype(f32)
-        im32 = interior.astype(f32)[:, :, None]
-        xv = (ppk[:, 0:3], ppk[:, 3:6])                         # (B,3)
-        xvb = (xv[0][:, None, :], xv[1][:, None, :])
-        dKv_s = pmask(dd.add((cpk[:, :, 0:3], cpk[:, :, 3:6]),
-                             dd.neg(xvb)),
-                      cv32[:, :, None])                         # (B,E,3)
-        Nf = (fpk[:, :, 0:3], fpk[:, :, 3:6])                   # (B,F,3)
-        fc = (fpk[:, :, 6:9], fpk[:, :, 9:12])
-        T1 = dd.add(xvb, dd.neg(fc))                            # (B,F,3)
-        T2c = []
-        for (i, j) in ((1, 2), (2, 0), (0, 1)):                 # N x T1
-            T2c.append(dd.add(dd.mul(comp(Nf, i), comp(T1, j)),
-                              dd.neg(dd.mul(comp(Nf, j), comp(T1, i)))))
-        T2 = (jnp.stack([t[0] for t in T2c], axis=-1),
-              jnp.stack([t[1] for t in T2c], axis=-1))
-        # tau = ||T2||^(-eta) = exp2(-(eta/2) * log2(||T2||^2)) — skips
-        # the sqrt entirely.  Degenerate faces (||T2|| ~ 0) get a clamp;
-        # their rows are zero regardless (tau multiplies T2).
-        t2n2 = dd.dot3(T2, T2, axis=-1)                         # (B,F)
-        degen = t2n2[0] < f32(1e-30)
-        t2h = jnp.where(interior & ~degen, t2n2[0],
-                        jnp.where(interior, f32(1e-30), f32(1.0)))
-        t2l = jnp.where(interior & ~degen, t2n2[1], f32(0.0))
-        eta = (fpk[:, :, 24], fpk[:, :, 25])
-        tau = dd.exp2(dd.mul(dd.scale(eta, f32(-0.5)),
-                             dd.log2((t2h, t2l))))              # (B,F)
-        taub = (tau[0][:, :, None], tau[1][:, :, None])
-        nL1m = pmask((fpk[:, :, 12:15], fpk[:, :, 15:18]), im32)
-        nL2m = pmask((fpk[:, :, 18:21], fpk[:, :, 21:24]), im32)
-        T1m = pmask(T1, im32)
-        tauT2m = pmask(dd.mul(taub, T2), im32)
         if with_neumann:
-            bm32 = bmask.astype(f32)
-            # nLb == nL1 bit-exactly (perm[first] @ N both)
-            nLb_s = pmask((fpk[:, :, 12:15], fpk[:, :, 15:18]),
-                          bm32[:, :, None])
             nvh = jnp.where(fp_valid, nval_h[fpts_safe], f32(0.0))
             nvl = jnp.where(fp_valid, nval_l[fpts_safe], f32(0.0))
             s = (nvh[..., 0], nvl[..., 0])
             for c in range(1, fpts.shape[2]):
                 s = dd.add(s, (nvh[..., c], nvl[..., c]))
             cnt = jnp.maximum(jnp.sum(fp_valid, axis=2), 1).astype(f32)
-            nmean_s = pmask(dd.div(s, (cnt, jnp.zeros_like(cnt))), bm32)
+            nmean_s = dd.div(s, (cnt, jnp.zeros_like(cnt)))
         else:
             zF32 = jnp.zeros((B, F), f32)
-            nLb_s = (jnp.zeros((B, F, 3), f32), jnp.zeros((B, F, 3), f32))
             nmean_s = (zF32, zF32)
 
-        # ---- ONE fused Pallas pass per node tile: assembly, shifted
-        # CholQR2, df32 refinement sweeps and weight extraction stay in
-        # VMEM in the TILED (G, ., ., NT) layout (ops/pallas_chol).
-        from ..ops.pallas_chol import NT as _NT, gls_solve_fused
-        Gt = B // _NT
-        i32 = lambda a: a.astype(jnp.int32)
-
-        def tile(x):
-            """(B, K, 3) f32 -> (G, K, 3, NT)."""
-            K = x.shape[1]
-            return jnp.transpose(x.reshape(Gt, _NT, K, 3), (0, 2, 3, 1))
-
-        def tile2(x):
-            """(B, K) -> (G, K, NT)."""
-            K = x.shape[1]
-            return jnp.transpose(x.reshape(Gt, _NT, K), (0, 2, 1))
-
-        ikb_t = (tile2(i32(Ikb)) if with_neumann
-                 else jnp.zeros((Gt, F, _NT), jnp.int32))
         wh, wl, wnh, wnl, rnt = gls_solve_fused(
-            tile(dKv_s[0]), tile(dKv_s[1]),
-            tile(nL1m[0]), tile(nL1m[1]),
-            tile(nL2m[0]), tile(nL2m[1]),
-            tile(T1m[0]), tile(T1m[1]),
-            tile(tauT2m[0]), tile(tauT2m[1]),
-            tile(nLb_s[0]), tile(nLb_s[1]),
-            tile2(i32(Ij1)), tile2(i32(Ij2)), ikb_t,
-            tile2(cv32), tile2(af32[:, None]),
-            tile2(nmean_s[0]), tile2(nmean_s[1]),
+            tile_k(ppk), tile_kc(cpk), tile_kc(fpk),
+            tile_kc(fp_i[:, :, 0:2]), tile_k(i32(KS)),
+            tile_k(cell_valid.astype(f32)),
+            tile_k(face_valid.astype(f32)),
+            tile_k(is_neu.astype(f32)[:, None]),
+            tile_k(valid.astype(f32)[:, None]),
+            tile_k(nmean_s[0]), tile_k(nmean_s[1]),
             with_neumann, rounds=rounds,
             # single-round CholQR contracts the residual by
             # ~eps32*cond(A) per sweep instead of cond-independently,

@@ -171,8 +171,16 @@ def log2(x):
     atanh series  log(m) = 2 atanh(t), t = (m-1)/(m+1), |t| < 0.172
     (9 odd terms reach ~2^-46), all in df32.
     """
+    import jax.lax as lax
     xh, xl = x
-    mant, ex = jnp.frexp(xh)                      # mant in [0.5, 1)
+    # frexp via IEEE-754 bit extraction: identical to jnp.frexp for
+    # normal positive floats (all callers clamp to >= 1e-30), and —
+    # unlike jnp.frexp — it lowers inside Pallas/Mosaic kernels, where
+    # the GLS tau computation now runs.
+    bits = lax.bitcast_convert_type(xh, jnp.int32)
+    ex = ((bits >> 23) & 0xFF) - 126
+    mant = lax.bitcast_convert_type((bits & 0x7FFFFF) | 0x3F000000,
+                                    jnp.float32)  # mant in [0.5, 1)
     up = mant < _SQRT_HALF
     mant = jnp.where(up, mant * 2, mant)
     ex = (ex - up.astype(ex.dtype)).astype(xh.dtype)

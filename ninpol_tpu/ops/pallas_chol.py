@@ -221,22 +221,95 @@ def _gram_mxu(at, g_scr, n_pad, diag_vec):
                 + eye[:, :, None] * diag_vec[:, None, :])
 
 
-def _solve_kernel(dkh, dkl, l1h, l1l, l2h, l2l, t1h, t1l, tth, ttl,
-                  lbh, lbl, ij1, ij2, ikb, cv, af, nmh, nml,
+def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld, nmh, nml,
                   wh_ref, wl_ref, wnh_ref, wnl_ref, rn_ref,
                   a_scr, g_scr, li_scr,
                   *, E, F, n, n_pad, m, sweeps, with_neumann, tiny, shift,
                   rounds=2):
     from . import df32 as dd
 
-    iota_e = jax.lax.broadcasted_iota(jnp.int32, (F, E, NT), 1)
-    S1 = (iota_e == ij1[0][:, None, :]).astype(_F32)
-    S2 = (iota_e == ij2[0][:, None, :]).astype(_F32)
-    Sb = ((iota_e == ikb[0][:, None, :]).astype(_F32)
-          if with_neumann else None)
+    # ---- df32 geometric prologue, IN-KERNEL (plane layout) -----------
+    # Inputs are the raw packed gather rows tiled with the component
+    # axis OUTERMOST ((c, K, NT): every component slice is a full
+    # sublane-aligned (K, NT) plane — a (K, c, NT) layout would pay a
+    # relayout on every component slice).  The former XLA prologue
+    # (T1/cross/tau/masks, plus one (G,K,3,NT) transpose per piece)
+    # collapses into VMEM work here; only the gathers, the Neumann
+    # face-point mean and the tiling transposes of the raw packs stay
+    # in XLA.  fpk column layout (methods/gls.py): nrm h/l | fcc h/l |
+    # nL1 h/l | nL2 h/l | eta h/l.
+    ppk0, cpk0, fpk0 = ppk[0], cpk[0], fpk[0]
+    k1 = k12[0][0]                                   # (F, NT) i32
+    k2 = k12[0][1]
+    ks0 = ks[0]                                      # (E, NT) i32
+    cvb = cv[0] > 0
+    fvb = fv[0] > 0
+    isneu = neu[0][0] > 0                            # (NT,)
+    valid = vld[0][0] > 0
+
+    interior = fvb & (k2 >= 0)
+    bnd = fvb & (k2 < 0)
+    im32 = interior.astype(_F32)                     # (F, NT)
+    cv0 = cvb.astype(_F32)                           # (E, NT)
+    n_face = jnp.sum(fvb.astype(_F32), axis=0)       # (NT,)
+    n_bface = jnp.sum(bnd.astype(_F32), axis=0)
+    active = valid & ~(n_bface >= n_face)            # gls.pyx:266
+    af0 = active.astype(_F32)[None, :]               # (1, NT)
+
+    k1c = jnp.where(interior, k1, 0)
+    k2c = jnp.where(interior, k2, 0)
+    S1 = ((ks0[None, :, :] == k1c[:, None, :]) & interior[:, None, :]
+          & cvb[None, :, :]).astype(_F32)            # (F, E, NT)
+    S2 = ((ks0[None, :, :] == k2c[:, None, :]) & interior[:, None, :]
+          & cvb[None, :, :]).astype(_F32)
+
+    xv = [(ppk0[c], ppk0[c + 3]) for c in range(3)]  # (NT,) pairs
+
+    def bc(p, K):
+        return (jnp.broadcast_to(p[0][None, :], (K, NT)),
+                jnp.broadcast_to(p[1][None, :], (K, NT)))
+
+    Nf = [(fpk0[c], fpk0[3 + c]) for c in range(3)]  # (F, NT) pairs
+    T1 = [dd.add(bc(xv[c], F), dd.neg((fpk0[6 + c], fpk0[9 + c])))
+          for c in range(3)]
+    T2 = [dd.add(dd.mul(Nf[i], T1[j]), dd.neg(dd.mul(Nf[j], T1[i])))
+          for (i, j) in ((1, 2), (2, 0), (0, 1))]    # N x T1
+    t2n2 = dd.mul(T2[0], T2[0])
+    for c in (1, 2):
+        t2n2 = dd.add(t2n2, dd.mul(T2[c], T2[c]))
+    degen = t2n2[0] < _F32(1e-30)
+    t2h = jnp.where(interior & ~degen, t2n2[0],
+                    jnp.where(interior, _F32(1e-30), _F32(1.0)))
+    t2l = jnp.where(interior & ~degen, t2n2[1], _F32(0.0))
+    eta = (fpk0[24], fpk0[25])
+    # tau = ||T2||^(-eta) = exp2(-(eta/2) * log2(||T2||^2))
+    tau = dd.exp2(dd.mul(dd.scale(eta, _F32(-0.5)),
+                         dd.log2((t2h, t2l))))       # (F, NT)
+
+    dk, l1, l2, t1m, tt = [], [], [], [], []
+    for c in range(3):
+        dkc = dd.add((cpk0[c], cpk0[3 + c]), dd.neg(bc(xv[c], E)))
+        dk.append((dkc[0] * cv0, dkc[1] * cv0))
+        l1.append((fpk0[12 + c] * im32, fpk0[15 + c] * im32))
+        l2.append((fpk0[18 + c] * im32, fpk0[21 + c] * im32))
+        t1m.append((T1[c][0] * im32, T1[c][1] * im32))
+        ttc = dd.mul(tau, T2[c])
+        tt.append((ttc[0] * im32, ttc[1] * im32))
+    if with_neumann:
+        bmask = bnd & isneu[None, :]
+        bm32 = bmask.astype(_F32)
+        owner = jnp.where(bmask, k1, 0)
+        Sb = ((ks0[None, :, :] == owner[:, None, :]) & bmask[:, None, :]
+              & cvb[None, :, :]).astype(_F32)
+        # nLb == nL1 bit-exactly (both are perm[first_cell] @ N)
+        lb = [(fpk0[12 + c] * bm32, fpk0[15 + c] * bm32)
+              for c in range(3)]
+        nm = (nmh[0] * bm32, nml[0] * bm32)
+    else:
+        Sb = None
+        lb = None
+        nm = None
     dS = S2 - S1
-    cv0 = cv[0]                                      # (E, NT)
-    af0 = af[0]                                      # (1, NT)
     msk = cv0 * af0                                  # (E, NT)
 
     # ---- assemble A (hi parts) in VMEM, permuted basis [x|y|z|const];
@@ -246,17 +319,17 @@ def _solve_kernel(dkh, dkl, l1h, l1l, l2h, l2l, t1h, t1l, tth, ttl,
             == jax.lax.broadcasted_iota(jnp.int32, (E, E), 1)).astype(_F32)
     for c in range(3):
         a_scr[0:E, c * E:(c + 1) * E, :] = (
-            eyeE[:, :, None] * dkh[0][:, c, :][None, :, :])
+            eyeE[:, :, None] * dk[c][0][None, :, :])
         a_scr[E:E + F, c * E:(c + 1) * E, :] = (
-            S2 * l2h[0][:, c, :][:, None, :]
-            - S1 * l1h[0][:, c, :][:, None, :])
+            S2 * l2[c][0][:, None, :]
+            - S1 * l1[c][0][:, None, :])
         a_scr[E + F:E + 2 * F, c * E:(c + 1) * E, :] = (
-            dS * t1h[0][:, c, :][:, None, :])
+            dS * t1m[c][0][:, None, :])
         a_scr[E + 2 * F:E + 3 * F, c * E:(c + 1) * E, :] = (
-            dS * tth[0][:, c, :][:, None, :])
+            dS * tt[c][0][:, None, :])
         if with_neumann:
             a_scr[E + 3 * F:E + 4 * F, c * E:(c + 1) * E, :] = (
-                -Sb * lbh[0][:, c, :][:, None, :])
+                -Sb * lb[c][0][:, None, :])
     a_scr[0:E, 3 * E:3 * E + 1, :] = cv0[:, None, :]
 
     # ---- shifted CholQR2 preconditioner.  The three heavy matmul
@@ -341,13 +414,10 @@ def _solve_kernel(dkh, dkl, l1h, l1l, l2h, l2l, t1h, t1l, tth, ttl,
     def yblk(yh, yl, c):
         return yh[c * E:(c + 1) * E], yl[c * E:(c + 1) * E]
 
-    def pc(ph, pl, c):
-        return ph[0][:, c, :], pl[0][:, c, :]
-
     def mul_A(yh, yl):
         tc = None
         for c in range(3):
-            p = dd.mul(pc(dkh, dkl, c), yblk(yh, yl, c))
+            p = dd.mul(dk[c], yblk(yh, yl, c))
             tc = p if tc is None else dd.add(tc, p)
         ycn = (jnp.broadcast_to(yh[3 * E:3 * E + 1], (E, NT)),
                jnp.broadcast_to(yl[3 * E:3 * E + 1], (E, NT)))
@@ -361,11 +431,11 @@ def _solve_kernel(dkh, dkl, l1h, l1l, l2h, l2l, t1h, t1l, tth, ttl,
               for c in range(3)]
         r1 = r2 = r3 = None
         for c in range(3):
-            p1 = dd.add(dd.mul(pc(l2h, l2l, c), g2[c]),
-                        dd.neg(dd.mul(pc(l1h, l1l, c), g1[c])))
+            p1 = dd.add(dd.mul(l2[c], g2[c]),
+                        dd.neg(dd.mul(l1[c], g1[c])))
             ddc = dd.add(g2[c], dd.neg(g1[c]))
-            p2 = dd.mul(pc(t1h, t1l, c), ddc)
-            p3 = dd.mul(pc(tth, ttl, c), ddc)
+            p2 = dd.mul(t1m[c], ddc)
+            p3 = dd.mul(tt[c], ddc)
             r1 = p1 if r1 is None else dd.add(r1, p1)
             r2 = p2 if r2 is None else dd.add(r2, p2)
             r3 = p3 if r3 is None else dd.add(r3, p3)
@@ -377,7 +447,7 @@ def _solve_kernel(dkh, dkl, l1h, l1l, l2h, l2l, t1h, t1l, tth, ttl,
             for c in range(3):
                 go = (jnp.sum(Sb * yblk(yh, yl, c)[0][None, :, :], axis=1),
                       jnp.sum(Sb * yblk(yh, yl, c)[1][None, :, :], axis=1))
-                p = dd.mul(pc(lbh, lbl, c), go)
+                p = dd.mul(lb[c], go)
                 tn = p if tn is None else dd.add(tn, p)
             tn = dd.neg(tn)
             tn = (tn[0] * af0, tn[1] * af0)
@@ -392,17 +462,17 @@ def _solve_kernel(dkh, dkl, l1h, l1l, l2h, l2l, t1h, t1l, tth, ttl,
         tc, r1, r2, r3, tn = mul_A(yh, yl)
         blocks_h, blocks_l = [], []
         for c in range(3):
-            out = dd.mul(pc(dkh, dkl, c), tc)
-            c1 = dd.neg(dd.add(dd.add(dd.mul(pc(l1h, l1l, c), r1),
-                                      dd.mul(pc(t1h, t1l, c), r2)),
-                               dd.mul(pc(tth, ttl, c), r3)))
-            c2 = dd.add(dd.add(dd.mul(pc(l2h, l2l, c), r1),
-                               dd.mul(pc(t1h, t1l, c), r2)),
-                        dd.mul(pc(tth, ttl, c), r3))
+            out = dd.mul(dk[c], tc)
+            c1 = dd.neg(dd.add(dd.add(dd.mul(l1[c], r1),
+                                      dd.mul(t1m[c], r2)),
+                               dd.mul(tt[c], r3)))
+            c2 = dd.add(dd.add(dd.mul(l2[c], r1),
+                               dd.mul(t1m[c], r2)),
+                        dd.mul(tt[c], r3))
             out = dd.add(out, scatter(S1, c1))
             out = dd.add(out, scatter(S2, c2))
             if with_neumann:
-                cb = dd.neg(dd.mul(pc(lbh, lbl, c), tn))
+                cb = dd.neg(dd.mul(lb[c], tn))
                 out = dd.add(out, scatter(Sb, cb))
             blocks_h.append(out[0])
             blocks_l.append(out[1])
@@ -433,7 +503,7 @@ def _solve_kernel(dkh, dkl, l1h, l1l, l2h, l2l, t1h, t1l, tth, ttl,
     wh_ref[0] = tc[0]
     wl_ref[0] = tc[1]
     if with_neumann:
-        p = dd.mul((nmh[0], nml[0]), tn)
+        p = dd.mul(nm, tn)
         s = dd.tree_sum(p, axis=0)
         wnh_ref[0] = s[0][None, :]
         wnl_ref[0] = s[1][None, :]
@@ -442,25 +512,35 @@ def _solve_kernel(dkh, dkl, l1h, l1l, l2h, l2l, t1h, t1l, tth, ttl,
         wnl_ref[0] = jnp.zeros((1, NT), _F32)
 
 
-def gls_solve_fused(dKv_h, dKv_l, nL1_h, nL1_l, nL2_h, nL2_l,
-                    T1_h, T1_l, tau_h, tau_l, nLb_h, nLb_l,
-                    Ij1, Ij2, Ikb, cv, af, nmean_h, nmean_l,
+def gls_solve_fused(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
+                    nmean_h, nmean_l,
                     with_neumann, sweeps=3, tiny=1e-12, shift=1.5e-5,
                     rounds=2):
     """The whole GLS mixed-precision solve as ONE Pallas pass per tile.
 
-    Inputs are tiled (G, ., ., NT) hi/lo float32 pairs of the per-node
-    pieces (see methods/gls.py).  Per tile, entirely in VMEM: assemble A
-    (hi), build the shifted-CholQR2 preconditioner, then run
-    ``sweeps`` df32 structured-residual refinement sweeps and extract
-    the weights — replacing the per-node LAPACK dgels of the reference
-    (gls.pyx:420-474) and the XLA-level assembly/apply/sweep glue that
-    previously dominated the chunk time.
+    Inputs are the RAW packed gather rows, tiled with the component
+    axis outermost (see methods/gls.py):
+      ppk (G, 6, NT) f32      point coords hi(3)+lo(3)
+      cpk (G, 6, E, NT) f32   cell centroids hi(3)+lo(3)
+      fpk (G, 26, F, NT) f32  nrm/fcc/nL1/nL2 hi+lo, eta hi+lo
+      k12 (G, 2, F, NT) i32   esuf pair (k2 < 0 marks boundary)
+      ks  (G, E, NT) i32      surrounding cells (clipped)
+      cv/fv                   cell/face validity (f32 0/1)
+      neu/vld (G, 1, NT)      Neumann flag / bucket-valid flag
+      nmean_* (G, F, NT)      Neumann face-point means (unmasked)
+
+    Per tile, entirely in VMEM: df32 geometric prologue (T1, cross,
+    tau via df32 exp2/log2), one-hot incidence, assembly, shifted
+    CholQR2, ``sweeps`` df32 structured-residual refinement sweeps,
+    and weight extraction — replacing the per-node LAPACK dgels of the
+    reference (gls.pyx:420-474) plus the XLA prologue and its dozen
+    per-piece (G,K,3,NT) transposes that previously sat between the
+    gathers and the kernel.
 
     Returns (w_h, w_l (G,E,NT), wn_h, wn_l (G,1,NT), rnorm (G,1,NT)).
     """
-    G, E, _, _ = dKv_h.shape
-    F = nL1_h.shape[1]
+    G, _, E, _ = cpk.shape
+    F = fpk.shape[2]
     n = 3 * E + 1
     n_pad = -(-n // 8) * 8          # sublane-aligned working width
     m = E + (4 if with_neumann else 3) * F
@@ -470,13 +550,12 @@ def gls_solve_fused(dKv_h, dKv_l, nL1_h, nL1_l, nL2_h, nL2_l,
     sp = lambda *dims: pl.BlockSpec(
         (1,) + dims, lambda i: (i,) + (i * 0,) * len(dims),
         memory_space=pltpu.VMEM)
-    p3 = sp(F, 3, NT)
     return pl.pallas_call(
         kern,
         grid=(G,),
-        in_specs=[sp(E, 3, NT), sp(E, 3, NT), p3, p3, p3, p3, p3, p3,
-                  p3, p3, p3, p3, sp(F, NT), sp(F, NT), sp(F, NT),
-                  sp(E, NT), sp(1, NT), sp(F, NT), sp(F, NT)],
+        in_specs=[sp(6, NT), sp(6, E, NT), sp(26, F, NT), sp(2, F, NT),
+                  sp(E, NT), sp(E, NT), sp(F, NT), sp(1, NT), sp(1, NT),
+                  sp(F, NT), sp(F, NT)],
         out_specs=[sp(E, NT), sp(E, NT), sp(1, NT), sp(1, NT),
                    sp(1, NT)],
         out_shape=[jax.ShapeDtypeStruct((G, E, NT), _F32),
@@ -492,9 +571,7 @@ def gls_solve_fused(dKv_h, dKv_l, nL1_h, nL1_l, nL2_h, nL2_l,
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=INTERPRET,
-    )(dKv_h, dKv_l, nL1_h, nL1_l, nL2_h, nL2_l, T1_h, T1_l,
-      tau_h, tau_l, nLb_h, nLb_l, Ij1, Ij2, Ikb, cv, af,
-      nmean_h, nmean_l)
+    )(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld, nmean_h, nmean_l)
 
 
 def _prec_apply_kernel(lc_ref, v_ref, o_ref, *, n):

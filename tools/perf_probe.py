@@ -47,29 +47,30 @@ def probe_kernel(E, F, B, with_neumann=False, sweeps=3, rounds=2):
     rng = np.random.default_rng(0)
     f32 = jnp.float32
 
-    def pair3(K):
-        return (jnp.asarray(rng.standard_normal((G, K, 3, NT)), f32),
-                jnp.zeros((G, K, 3, NT), f32))
-
-    def pair2(K):
-        return (jnp.asarray(
-            np.abs(rng.standard_normal((G, K, NT))) + 0.1, f32),
-            jnp.zeros((G, K, NT), f32))
-
-    dKv = pair3(E)
-    nL1, nL2, T1, tau, nLb = (pair3(F) for _ in range(5))
-    ij1 = jnp.asarray(rng.integers(0, E, (G, F, NT)), jnp.int32)
-    ij2 = jnp.asarray(rng.integers(0, E, (G, F, NT)), jnp.int32)
-    ikb = jnp.zeros((G, F, NT), jnp.int32)
+    # packed-input format (see ops/pallas_chol.gls_solve_fused): raw
+    # gather rows, component axis outermost
+    ppk = jnp.asarray(rng.standard_normal((G, 6, NT)), f32)
+    cpk = jnp.asarray(rng.standard_normal((G, 6, E, NT)), f32)
+    fpk = jnp.asarray(rng.standard_normal((G, 26, F, NT)) * 0.3, f32)
+    # eta rows positive-ish; tau clamps handle the rest
+    fpk = fpk.at[:, 24].set(jnp.abs(fpk[:, 24]) + 1.0)
+    fpk = fpk.at[:, 25].set(0.0)
+    k12 = jnp.asarray(
+        np.stack([rng.integers(0, E, (G, F, NT)),
+                  rng.integers(0, E, (G, F, NT))], axis=1), jnp.int32)
+    ks = jnp.asarray(
+        np.broadcast_to(np.arange(E, dtype=np.int32)[None, :, None],
+                        (G, E, NT)).copy())
     cv = jnp.ones((G, E, NT), f32)
-    af = jnp.ones((G, 1, NT), f32)
-    nm = pair2(F)
+    fv = jnp.ones((G, F, NT), f32)
+    neu = jnp.zeros((G, 1, NT), f32)
+    vld = jnp.ones((G, 1, NT), f32)
+    nm = (jnp.asarray(np.abs(rng.standard_normal((G, F, NT))) + 0.1,
+                      f32), jnp.zeros((G, F, NT), f32))
 
     def run():
-        return gls_solve_fused(dKv[0], dKv[1], nL1[0], nL1[1],
-                               nL2[0], nL2[1], T1[0], T1[1],
-                               tau[0], tau[1], nLb[0], nLb[1],
-                               ij1, ij2, ikb, cv, af, nm[0], nm[1],
+        return gls_solve_fused(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
+                               nm[0], nm[1],
                                with_neumann, sweeps=sweeps, rounds=rounds)
 
     t0 = time.perf_counter()
