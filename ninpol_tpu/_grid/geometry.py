@@ -33,7 +33,7 @@ def _face_geometry_native(point_coords, inpofa, dim, precise=False):
         return None
     n_faces = inpofa.shape[0]
     coords = np.ascontiguousarray(point_coords, dtype=np.float64)
-    inpofa = np.ascontiguousarray(inpofa, dtype=np.int64)
+    inpofa = np.ascontiguousarray(inpofa, dtype=np.int32)
     centers = np.zeros((n_faces, 3), dtype=DTYPE_F)
     normals = np.zeros((n_faces, 3), dtype=DTYPE_F)
     areas = np.zeros(n_faces, dtype=DTYPE_F)
@@ -57,9 +57,9 @@ def calculate_centroids(point_coords, connectivity, element_types, npoel,
     if native.available() and n_elems:
         native.lib().compute_centroids(
             n_elems, connectivity.shape[1],
-            np.ascontiguousarray(connectivity, dtype=np.int64),
-            np.ascontiguousarray(element_types, dtype=np.int64),
-            np.ascontiguousarray(npoel, dtype=np.int64),
+            np.ascontiguousarray(connectivity, dtype=np.int32),
+            np.ascontiguousarray(element_types, dtype=np.int32),
+            np.ascontiguousarray(npoel, dtype=np.int32),
             np.ascontiguousarray(point_coords, dtype=np.float64),
             dim, centroids)
         return centroids

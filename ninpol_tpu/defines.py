@@ -26,7 +26,8 @@ MAX_EDGES_PER_ELEMENT = 12
 MAX_ELEMENTS_PER_FACE = 2
 MAX_POINTS_PER_EDGE = 2
 
-DTYPE_I = np.int64
+DTYPE_I = np.int32   # all entity counts < 2^31; int64 doubled every
+                     # topology array and the build-time page faults
 DTYPE_F = np.float64
 
 # ---------------------------------------------------------------------------

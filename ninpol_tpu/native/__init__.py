@@ -19,7 +19,10 @@ _SRC = os.path.join(_HERE, "topology.cpp")
 _LIB = None
 _TRIED = False
 
-i64_p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+# topology arrays are int32 (entity counts < 2^31): halves the bytes
+# the engine touches (first-touch page faults dominate cold builds
+# in this microVM)
+i32_p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
 
 
 def _build_lib_path():
@@ -53,27 +56,27 @@ def _load():
     except (OSError, subprocess.CalledProcessError):
         return None
 
-    lib.build_esup.argtypes = [ctypes.c_int64] * 3 + [i64_p] * 5
+    lib.build_esup.argtypes = [ctypes.c_int64] * 3 + [i32_p] * 5
     lib.build_esup.restype = None
-    lib.build_psup.argtypes = [ctypes.c_int64] * 3 + [i64_p] * 7
+    lib.build_psup.argtypes = [ctypes.c_int64] * 3 + [i32_p] * 7
     lib.build_psup.restype = ctypes.c_int64
-    lib.build_faces.argtypes = ([ctypes.c_int64] * 3 + [i64_p] * 5
-                                + [ctypes.c_int64] * 2 + [i64_p] * 5)
+    lib.build_faces.argtypes = ([ctypes.c_int64] * 3 + [i32_p] * 5
+                                + [ctypes.c_int64] * 2 + [i32_p] * 5)
     lib.build_faces.restype = ctypes.c_int64
-    lib.build_fsup.argtypes = [ctypes.c_int64] * 2 + [i64_p] * 3
+    lib.build_fsup.argtypes = [ctypes.c_int64] * 2 + [i32_p] * 3
     lib.build_fsup.restype = None
-    lib.build_esuf.argtypes = [ctypes.c_int64] * 3 + [i64_p] * 5
+    lib.build_esuf.argtypes = [ctypes.c_int64] * 3 + [i32_p] * 5
     lib.build_esuf.restype = None
-    lib.build_edges.argtypes = ([ctypes.c_int64] * 3 + [i64_p] * 2
-                                + [i64_p] * 2 + [ctypes.c_int64]
-                                + [i64_p] * 2)
+    lib.build_edges.argtypes = ([ctypes.c_int64] * 3 + [i32_p] * 2
+                                + [i32_p] * 2 + [ctypes.c_int64]
+                                + [i32_p] * 2)
     lib.build_edges.restype = ctypes.c_int64
     f64_p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
-    lib.compute_centroids.argtypes = ([ctypes.c_int64] * 2 + [i64_p] * 3
+    lib.compute_centroids.argtypes = ([ctypes.c_int64] * 2 + [i32_p] * 3
                                       + [f64_p, ctypes.c_int64, f64_p])
     lib.compute_centroids.restype = None
     lib.compute_face_geometry.argtypes = (
-        [ctypes.c_int64, i64_p, f64_p, ctypes.c_int64, ctypes.c_int64,
+        [ctypes.c_int64, i32_p, f64_p, ctypes.c_int64, ctypes.c_int64,
          f64_p, f64_p, f64_p])
     lib.compute_face_geometry.restype = None
     _LIB = lib

@@ -27,6 +27,11 @@
 #endif
 
 using i64 = int64_t;
+// Array ELEMENT type: int32 (all entity counts < 2^31).  Halves the
+// memory this engine touches — in this microVM first-touch page faults
+// dominate cold builds, so bytes ARE time.  Scalar sizes stay i64 in
+// the C ABI.
+using idx = int32_t;
 
 namespace {
 
@@ -40,7 +45,7 @@ struct FaceKey {
     }
 };
 
-inline FaceKey make_face_key(const i64* srt) {
+inline FaceKey make_face_key(const idx* srt) {
     return FaceKey{
         ((uint64_t)(srt[0] + 1) << 32) | (uint64_t)(uint32_t)(srt[1] + 1),
         ((uint64_t)(srt[2] + 1) << 32) | (uint64_t)(uint32_t)(srt[3] + 1)};
@@ -58,9 +63,9 @@ struct FaceKeyHash {
     }
 };
 
-inline void sort4(i64* p) {
+inline void sort4(idx* p) {
     // sorting network for 4 elements
-    auto cswap = [](i64& x, i64& y) { if (x > y) std::swap(x, y); };
+    auto cswap = [](idx& x, idx& y) { if (x > y) std::swap(x, y); };
     cswap(p[0], p[1]); cswap(p[2], p[3]);
     cswap(p[0], p[2]); cswap(p[1], p[3]);
     cswap(p[1], p[2]);
@@ -73,19 +78,19 @@ extern "C" {
 // Elements surrounding each point (reference grid.pyx:233-267).
 // conn: (n_elems, stride) padded with -1; npoel per element type.
 void build_esup(i64 n_elems, i64 n_points, i64 stride,
-                const i64* conn, const i64* etypes, const i64* npoel,
-                i64* esup_ptr /*n_points+1*/, i64* esup /*total*/) {
-    std::memset(esup_ptr, 0, sizeof(i64) * (n_points + 1));
+                const idx* conn, const idx* etypes, const idx* npoel,
+                idx* esup_ptr /*n_points+1*/, idx* esup /*total*/) {
+    std::memset(esup_ptr, 0, sizeof(idx) * (n_points + 1));
     for (i64 e = 0; e < n_elems; ++e) {
         const i64 np = npoel[etypes[e]];
-        const i64* row = conn + e * stride;
+        const idx* row = conn + e * stride;
         for (i64 j = 0; j < np; ++j) esup_ptr[row[j] + 1]++;
     }
     for (i64 p = 0; p < n_points; ++p) esup_ptr[p + 1] += esup_ptr[p];
     for (i64 e = 0; e < n_elems; ++e) {
         const i64 np = npoel[etypes[e]];
-        const i64* row = conn + e * stride;
-        for (i64 j = 0; j < np; ++j) esup[esup_ptr[row[j]]++] = e;
+        const idx* row = conn + e * stride;
+        for (i64 j = 0; j < np; ++j) esup[esup_ptr[row[j]]++] = (idx)e;
     }
     for (i64 p = n_points; p > 0; --p) esup_ptr[p] = esup_ptr[p - 1];
     esup_ptr[0] = 0;
@@ -95,26 +100,26 @@ void build_esup(i64 n_elems, i64 n_points, i64 stride,
 // (reference grid.pyx:269-302).  psup must be sized for the upper bound
 // (esup total * (max points per element - 1)); returns actual length.
 i64 build_psup(i64 n_elems, i64 n_points, i64 stride,
-               const i64* conn, const i64* etypes, const i64* npoel,
-               const i64* esup_ptr, const i64* esup,
-               i64* psup_ptr /*n_points+1*/, i64* psup) {
-    std::vector<i64> last_seen(n_points, -1);
+               const idx* conn, const idx* etypes, const idx* npoel,
+               const idx* esup_ptr, const idx* esup,
+               idx* psup_ptr /*n_points+1*/, idx* psup) {
+    std::vector<idx> last_seen(n_points, -1);
     i64 stor = 0;
     psup_ptr[0] = 0;
     for (i64 p = 0; p < n_points; ++p) {
         for (i64 k = esup_ptr[p]; k < esup_ptr[p + 1]; ++k) {
             const i64 e = esup[k];
             const i64 np = npoel[etypes[e]];
-            const i64* row = conn + e * stride;
+            const idx* row = conn + e * stride;
             for (i64 j = 0; j < np; ++j) {
-                const i64 q = row[j];
+                const idx q = row[j];
                 if (q != p && last_seen[q] != p) {
                     psup[stor++] = q;
-                    last_seen[q] = p;
+                    last_seen[q] = (idx)p;
                 }
             }
         }
-        psup_ptr[p + 1] = stor;
+        psup_ptr[p + 1] = (idx)stor;
     }
     return stor;
 }
@@ -129,11 +134,11 @@ i64 build_psup(i64 n_elems, i64 n_points, i64 stride,
 // elements) — mirroring the NumPy fallback's ValueError instead of
 // silently re-pairing (the ctypes wrapper raises).
 i64 build_faces(i64 n_elems, i64 n_points, i64 stride,
-                const i64* conn, const i64* etypes,
-                const i64* nfael, const i64* lnofa, const i64* lpofa,
+                const idx* conn, const idx* etypes,
+                const idx* nfael, const idx* lnofa, const idx* lpofa,
                 i64 max_fpe, i64 max_ppf,
-                i64* infael, i64* inpofa, i64* esuel,
-                i64* boundary_faces, i64* boundary_points) {
+                idx* infael, idx* inpofa, idx* esuel,
+                idx* boundary_faces, idx* boundary_points) {
     // Open-addressing table (linear probing): ~3x faster than
     // std::unordered_map for this insert-heavy one-shot workload.
     // Sized from the half-face count: paired entries are consumed, so
@@ -179,7 +184,7 @@ i64 build_faces(i64 n_elems, i64 n_points, i64 stride,
     // the same cache lines as the real writes, instead of a separate
     // two-array full pass here: fresh-page faults on these ~120 MB
     // arrays dominate a process's first build, not the hash probing.
-    std::memset(boundary_points, 0, sizeof(i64) * n_points);
+    std::memset(boundary_points, 0, sizeof(idx) * n_points);
 
     // The table walk is a dependent random-access chain; batching the key
     // computation and software-prefetching the home slots ahead of the
@@ -188,7 +193,7 @@ i64 build_faces(i64 n_elems, i64 n_points, i64 stride,
     constexpr int BATCH = 256;
     FaceKey keys[BATCH];
     size_t homes[BATCH];
-    i64 kpts[BATCH][4];
+    idx kpts[BATCH][4];
     int32_t kel[BATCH], ksl[BATCH];
 
     i64 n_faces = 0;
@@ -205,12 +210,12 @@ i64 build_faces(i64 n_elems, i64 n_points, i64 stride,
                 }
             }
             if (j >= nf) { ++e; j = 0; continue; }
-            const i64* row = conn + e * stride;
-            i64 pts[4] = {-1, -1, -1, -1};
+            const idx* row = conn + e * stride;
+            idx pts[4] = {-1, -1, -1, -1};
             const i64 npf = lnofa[t * max_fpe + j];
-            const i64* lp = lpofa + (t * max_fpe + j) * max_ppf;
+            const idx* lp = lpofa + (t * max_fpe + j) * max_ppf;
             for (i64 k = 0; k < npf; ++k) pts[k] = row[lp[k]];
-            i64 srt[4] = {pts[0], pts[1], pts[2], pts[3]};
+            idx srt[4] = {pts[0], pts[1], pts[2], pts[3]};
             sort4(srt);
             keys[nb] = make_face_key(srt);
             homes[nb] = hasher(keys[nb]) & mask;
@@ -230,8 +235,8 @@ i64 build_faces(i64 n_elems, i64 n_points, i64 stride,
                     s.key = key;
                     s.elem = (int32_t)ee; s.slot = (int32_t)jj;
                     const i64 f = n_faces++;
-                    infael[ee * max_fpe + jj] = f;
-                    i64* fp = inpofa + f * 4;
+                    infael[ee * max_fpe + jj] = (idx)f;
+                    idx* fp = inpofa + f * 4;
                     fp[0] = kpts[b][0]; fp[1] = kpts[b][1];
                     fp[2] = kpts[b][2]; fp[3] = kpts[b][3];
                     boundary_faces[f] = 1;        // cleared when paired
@@ -240,9 +245,9 @@ i64 build_faces(i64 n_elems, i64 n_points, i64 stride,
                 if (s.key == key) {               // second half-face
                     if (s.slot == -2) return -1;  // third: non-manifold
                     const i64 f = infael[s.elem * max_fpe + s.slot];
-                    infael[ee * max_fpe + jj] = f;
+                    infael[ee * max_fpe + jj] = (idx)f;
                     esuel[ee * max_fpe + jj] = s.elem;
-                    esuel[s.elem * max_fpe + s.slot] = ee;
+                    esuel[s.elem * max_fpe + s.slot] = (idx)ee;
                     boundary_faces[f] = 0;
                     s.slot = -2;                  // consume the pair
                     break;
@@ -253,7 +258,7 @@ i64 build_faces(i64 n_elems, i64 n_points, i64 stride,
     }
     for (i64 f = 0; f < n_faces; ++f) {
         if (!boundary_faces[f]) continue;
-        const i64* fp = inpofa + f * 4;
+        const idx* fp = inpofa + f * 4;
         for (i64 k = 0; k < 4 && fp[k] >= 0; ++k) boundary_points[fp[k]] = 1;
     }
     return n_faces;
@@ -261,16 +266,17 @@ i64 build_faces(i64 n_elems, i64 n_points, i64 stride,
 
 // Faces surrounding each point (reference grid.pyx:347-379).
 void build_fsup(i64 n_faces, i64 n_points,
-                const i64* inpofa, i64* fsup_ptr, i64* fsup) {
-    std::memset(fsup_ptr, 0, sizeof(i64) * (n_points + 1));
+                const idx* inpofa, idx* fsup_ptr, idx* fsup) {
+    std::memset(fsup_ptr, 0, sizeof(idx) * (n_points + 1));
     for (i64 f = 0; f < n_faces; ++f) {
-        const i64* fp = inpofa + f * 4;
+        const idx* fp = inpofa + f * 4;
         for (i64 k = 0; k < 4 && fp[k] >= 0; ++k) fsup_ptr[fp[k] + 1]++;
     }
     for (i64 p = 0; p < n_points; ++p) fsup_ptr[p + 1] += fsup_ptr[p];
     for (i64 f = 0; f < n_faces; ++f) {
-        const i64* fp = inpofa + f * 4;
-        for (i64 k = 0; k < 4 && fp[k] >= 0; ++k) fsup[fsup_ptr[fp[k]]++] = f;
+        const idx* fp = inpofa + f * 4;
+        for (i64 k = 0; k < 4 && fp[k] >= 0; ++k)
+            fsup[fsup_ptr[fp[k]]++] = (idx)f;
     }
     for (i64 p = n_points; p > 0; --p) fsup_ptr[p] = fsup_ptr[p - 1];
     fsup_ptr[0] = 0;
@@ -278,9 +284,9 @@ void build_fsup(i64 n_faces, i64 n_points,
 
 // Elements surrounding each face (reference grid.pyx:381-416).
 void build_esuf(i64 n_elems, i64 n_faces, i64 max_fpe,
-                const i64* infael, const i64* etypes, const i64* nfael,
-                i64* esuf_ptr, i64* esuf) {
-    std::memset(esuf_ptr, 0, sizeof(i64) * (n_faces + 1));
+                const idx* infael, const idx* etypes, const idx* nfael,
+                idx* esuf_ptr, idx* esuf) {
+    std::memset(esuf_ptr, 0, sizeof(idx) * (n_faces + 1));
     for (i64 e = 0; e < n_elems; ++e) {
         const i64 nf = nfael[etypes[e]];
         for (i64 j = 0; j < nf; ++j)
@@ -290,7 +296,7 @@ void build_esuf(i64 n_elems, i64 n_faces, i64 max_fpe,
     for (i64 e = 0; e < n_elems; ++e) {
         const i64 nf = nfael[etypes[e]];
         for (i64 j = 0; j < nf; ++j)
-            esuf[esuf_ptr[infael[e * max_fpe + j]]++] = e;
+            esuf[esuf_ptr[infael[e * max_fpe + j]]++] = (idx)e;
     }
     for (i64 f = n_faces; f > 0; --f) esuf_ptr[f] = esuf_ptr[f - 1];
     esuf_ptr[0] = 0;
@@ -300,12 +306,12 @@ void build_esuf(i64 n_elems, i64 n_faces, i64 max_fpe,
 // coordinates only (reference grid.pyx:669-704).  Bit-identical to the
 // NumPy path in _grid/geometry.py (same f64 accumulation order).
 void compute_centroids(i64 n_elems, i64 stride,
-                       const i64* conn, const i64* etypes, const i64* npoel,
+                       const idx* conn, const idx* etypes, const idx* npoel,
                        const double* coords /*(n_points, 3)*/, i64 dim,
                        double* out /*(n_elems, 3) zeroed by caller*/) {
     for (i64 e = 0; e < n_elems; ++e) {
         const i64 np = npoel[etypes[e]];
-        const i64* row = conn + e * stride;
+        const idx* row = conn + e * stride;
         double acc[3] = {0.0, 0.0, 0.0};
         for (i64 j = 0; j < np; ++j) {
             const double* p = coords + row[j] * 3;
@@ -321,13 +327,13 @@ void compute_centroids(i64 n_elems, i64 stride,
 // (reference grid.pyx:706-809).  Normals reproduce the reference's
 // float32 intermediate chain (grid.pyx:732-736 declare float scratch)
 // unless precise != 0 — matching _grid/geometry.py exactly.
-void compute_face_geometry(i64 n_faces, const i64* inpofa /*(n,4)*/,
+void compute_face_geometry(i64 n_faces, const idx* inpofa /*(n,4)*/,
                            const double* coords, i64 dim, i64 precise,
                            double* centers /*(n,3) zeroed*/,
                            double* normals /*(n,3) zeroed*/,
                            double* areas /*(n)*/) {
     for (i64 f = 0; f < n_faces; ++f) {
-        const i64* fp = inpofa + f * 4;
+        const idx* fp = inpofa + f * 4;
         i64 k = 0;
         double acc[3] = {0.0, 0.0, 0.0};
         for (; k < 4 && fp[k] >= 0; ++k) {
@@ -422,9 +428,9 @@ void compute_face_geometry(i64 n_faces, const i64* inpofa /*(n,4)*/,
 // Unique edges by first encounter (reference grid.pyx:527-580).
 // Returns n_edges; inedel (n_elems, max_epe), inpoed (cap, 2).
 i64 build_edges(i64 n_elems, i64 n_points, i64 stride,
-                const i64* conn, const i64* etypes,
-                const i64* nedel, const i64* lpoed, i64 max_epe,
-                i64* inedel, i64* inpoed) {
+                const idx* conn, const idx* etypes,
+                const idx* nedel, const idx* lpoed, i64 max_epe,
+                idx* inedel, idx* inpoed) {
     std::unordered_map<i64, i64> seen;  // key = min*(n+2)+max -> edge id
     seen.reserve((size_t)(n_elems * 4));
     std::fill(inedel, inedel + n_elems * max_epe, (i64)-1);
@@ -433,9 +439,9 @@ i64 build_edges(i64 n_elems, i64 n_points, i64 stride,
     for (i64 e = 0; e < n_elems; ++e) {
         const i64 t = etypes[e];
         const i64 ned = nedel[t];
-        const i64* row = conn + e * stride;
+        const idx* row = conn + e * stride;
         for (i64 j = 0; j < ned; ++j) {
-            const i64* lp = lpoed + (t * max_epe + j) * 2;
+            const idx* lp = lpoed + (t * max_epe + j) * 2;
             const i64 a = row[lp[0]], b = row[lp[1]];
             const i64 lo = a < b ? a : b, hi = a < b ? b : a;
             const i64 key = (lo + 1) * base + (hi + 1);
@@ -444,12 +450,12 @@ i64 build_edges(i64 n_elems, i64 n_points, i64 stride,
             if (it == seen.end()) {
                 id = n_edges++;
                 seen.emplace(key, id);
-                inpoed[id * 2] = a;       // original orientation
-                inpoed[id * 2 + 1] = b;
+                inpoed[id * 2] = (idx)a;  // original orientation
+                inpoed[id * 2 + 1] = (idx)b;
             } else {
                 id = it->second;
             }
-            inedel[e * max_epe + j] = id;
+            inedel[e * max_epe + j] = (idx)id;
         }
     }
     return n_edges;
