@@ -96,3 +96,42 @@ def test_df32_pow_accuracy():
         jnp.asarray(np.array([0.0, 1.0, 26.0, -13.0, 25.99999999]))))))
     assert np.array_equal(p2[:4], [1.0, 2.0, 2.0 ** 26, 2.0 ** -13])
     assert abs(p2[4] - 2.0 ** 25.99999999) / 2.0 ** 26 < 1e-12
+
+
+def test_bucket_chunk_plan_bounds():
+    """The chunk planner's two contracts: at most THREE distinct (E, F, B)
+    programs per bucket class per run (every distinct program costs ~10 s
+    of cached-executable load through this environment's remote helper),
+    and bounded padding (a tail chunk pads by at most 4x its real nodes —
+    a single fixed tail quantum once padded a 27-node CPU-test bucket to
+    8192, 70 s/call)."""
+    import numpy as np
+    from ninpol_tpu.interpolator import Interpolator
+    from ninpol_tpu.utils import meshgen
+    from ninpol_tpu._methods.device_grid import DeviceGrid
+
+    interp = Interpolator()
+    interp.load_mesh(mesh_obj=meshgen.tetra_mesh(6))
+    dg = DeviceGrid(interp.grid)
+    tp = np.arange(interp.grid.n_points)
+    rng = np.random.default_rng(0)
+    for frac in (1.0, 0.37, 0.011):
+        mask = rng.random(len(tp)) < frac
+        if not mask.any():
+            continue
+        shapes = {}
+        total_pad = total_real = 0
+        for b in dg.buckets(tp, mask, chunk_size=32768,
+                            chunk_elems=int(4.6e8)):
+            key = (b["E"], b["F"])
+            shapes.setdefault(key, set()).add(len(b["pos"]))
+            total_pad += len(b["pos"])
+            total_real += int(b["valid"].sum())
+        assert total_real == mask.sum()
+        for key, sizes in shapes.items():
+            assert len(sizes) <= 3, (key, sizes)
+        # global padding bound: every real node is covered, and padding
+        # never exceeds 4x the real work plus one batch_align quantum
+        # per class
+        assert total_pad <= 4 * total_real + 256 * sum(
+            len(s) for s in shapes.values()), (total_pad, total_real)
