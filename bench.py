@@ -125,7 +125,9 @@ def _watchdog():
 
 def main():
     import threading
-    timeout_s = float(os.environ.get("NINPOL_BENCH_TIMEOUT", "2700"))
+    # default sized for a fully COLD compile cache: ~4 fused-kernel
+    # shapes at 5-10 min each through the remote helper, plus warm-up
+    timeout_s = float(os.environ.get("NINPOL_BENCH_TIMEOUT", "3300"))
     timer = threading.Timer(timeout_s, _watchdog)
     timer.daemon = True
     timer.start()
