@@ -108,11 +108,12 @@ class DeviceGrid:
         # is packed into one wide row per entity and gathered ONCE.
         self.point_pack = jnp.concatenate([self.pc_h, self.pc_l], axis=1)
         self.cell_pack = jnp.concatenate([self.cen_h, self.cen_l], axis=1)
-        # int face row: [esuf2d(2) | boundary(1) | inpofa(4)]
-        esuf_pad = self.esuf2d_h[:, :2]
-        self.face_ipack = put(np.concatenate([
-            esuf_pad, grid.boundary_faces.astype(np.int32)[:, None],
-            grid.inpofa.astype(np.int32)], axis=1))
+        # int face row: the esuf pair only (boundary flag = esuf[1] < 0;
+        # inpofa stays host-side — the per-face Neumann mean that used
+        # to need it on device is precomputed on the host, gls.py).
+        # Keeping it to 2 columns saves ~75 MB of upload at 2M-cell
+        # scale through this environment's ~25-60 MB/s relay.
+        self.face_ipack = put(self.esuf2d_h[:, :2])
         self.esup2d = put(self.esup2d_h)
         self.esup_cnt = put(self.esup_cnt_h)
         self.fsup2d = put(self.fsup2d_h)

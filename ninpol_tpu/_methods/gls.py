@@ -71,7 +71,7 @@ def _gls_bucket_impl(
         nodes, valid,                       # (B,), (B,)
         esup2d, esup_cnt, fsup2d, fsup_cnt,
         point_pack, cell_pack, face_pack,
-        neumann_flag, nval_h, nval_l,
+        neumann_flag,
         *, E, F, n_refine=2, exact=False, neumann_compat=True,
         with_neumann=True, solver="cholqr", fused=False, rounds=2):
     f64 = jnp.float64
@@ -96,25 +96,27 @@ def _gls_bucket_impl(
     face_valid = (jnp.arange(F)[None, :] < n_face[:, None]) & (Sv >= 0)
     SF = jnp.where(face_valid, Sv, 0)
 
-    # ONE 32-column gather row per (node, face).  32 f32 = 128 bytes is
-    # the widest row the TPU gather fast path handles (a 40-wide row
-    # measured 2x slower than TWO narrow gathers); the row fits by (a)
-    # dropping the boundary flag — a boundary face is exactly one with
-    # a single adjacent cell, i.e. esuf[1] < 0 (topology.py:237-239) —
-    # and (b) dropping nLb, which is bit-identical to nL1 (both are
-    # perm[first_cell] @ N, see precompute_face_data).  The barrier
-    # pins the single full-row gather: without it XLA fuses the slices
-    # below INTO the gather, splitting it into lane-offset gathers that
-    # hit a ~50x slower path (measured).
-    fpk = face_pack[SF]                                         # (B,F,32)
+    # ONE 30-column gather row per (node, face) — under the 32-f32
+    # (128-byte) cap of the TPU gather fast path (a 40-wide row
+    # measured 2x slower than TWO narrow gathers).  The row fits by
+    # (a) dropping the boundary flag — a boundary face is exactly one
+    # with a single adjacent cell, i.e. esuf[1] < 0
+    # (topology.py:237-239) — (b) dropping nLb, which is bit-identical
+    # to nL1 (both are perm[first_cell] @ N, see precompute_face_data),
+    # and (c) carrying the per-face Neumann mean PRECOMPUTED in f64 on
+    # the host instead of inpofa + per-face-POINT value gathers (those
+    # cost ~8 cycles x 4F scalar rows per node — more than the whole
+    # solve kernel).  The barrier pins the single full-row gather:
+    # without it XLA fuses the slices below INTO the gather, splitting
+    # it into lane-offset gathers that hit a ~50x slower path
+    # (measured).
+    fpk = face_pack[SF]                                         # (B,F,30)
     fpk = jax.lax.optimization_barrier(fpk)
     # pure data movement (gather + slice) preserves the int bit
-    # patterns; no float arithmetic ever touches columns 0:6
-    fp_i = jax.lax.bitcast_convert_type(fpk[:, :, 0:6], jnp.int32)
-    fpk = fpk[:, :, 6:]                                         # (B,F,26)
-    pair = fp_i[:, :, 0:2]
+    # patterns; no float arithmetic ever touches columns 0:2
+    pair = jax.lax.bitcast_convert_type(fpk[:, :, 0:2], jnp.int32)
+    fpk = fpk[:, :, 2:]                                         # (B,F,28)
     bnd = pair[:, :, 1] < 0                                     # boundary
-    fpts = fp_i[:, :, 2:6]                                      # (B,F,4)
     cpk = cell_pack[KS]                                         # (B,E,6)
     ppk = point_pack[nodes]                                     # (B,6)
 
@@ -124,9 +126,6 @@ def _gls_bucket_impl(
     # Dirichlet-boundary nodes are excluded by the caller's bucket mask.
     active = valid & ~skip_build
 
-    if with_neumann:
-        fp_valid = fpts >= 0
-        fpts_safe = jnp.where(fp_valid, fpts, 0)
     if not fused:
         interior = face_valid & (pair[:, :, 1] >= 0)
         k1 = jnp.where(interior, pair[:, :, 0], 0)
@@ -152,11 +151,11 @@ def _gls_bucket_impl(
         # df32 exp2/log2), one-hot incidence, assembly, shifted
         # CholQR2, refinement sweeps, weight extraction — inside ONE
         # Pallas pass per 128-node tile (ops/pallas_chol._solve_kernel).
-        # Only the gathers, the Neumann face-point mean (needs its own
-        # gather) and these tiling transposes remain in XLA: the former
-        # XLA df32 prologue plus its ~12 per-piece (G,K,3,NT)
-        # transposes were ~25% of chunk device time (VERDICT r2 #1).
-        dd = df32
+        # Only the gathers and these tiling transposes remain in XLA:
+        # the former XLA df32 prologue plus its ~12 per-piece
+        # (G,K,3,NT) transposes were ~25% of chunk device time
+        # (VERDICT r2 #1); the per-face Neumann mean rides in the face
+        # pack (precomputed on the host, see prepare()).
         from ..ops.pallas_chol import NT as _NT, gls_solve_fused
         Gt = B // _NT
         i32 = lambda a: a.astype(jnp.int32)
@@ -172,26 +171,13 @@ def _gls_bucket_impl(
             """(B, K) -> (G, K, NT)."""
             return jnp.transpose(x.reshape(Gt, _NT, -1), (0, 2, 1))
 
-        if with_neumann:
-            nvh = jnp.where(fp_valid, nval_h[fpts_safe], f32(0.0))
-            nvl = jnp.where(fp_valid, nval_l[fpts_safe], f32(0.0))
-            s = (nvh[..., 0], nvl[..., 0])
-            for c in range(1, fpts.shape[2]):
-                s = dd.add(s, (nvh[..., c], nvl[..., c]))
-            cnt = jnp.maximum(jnp.sum(fp_valid, axis=2), 1).astype(f32)
-            nmean_s = dd.div(s, (cnt, jnp.zeros_like(cnt)))
-        else:
-            zF32 = jnp.zeros((B, F), f32)
-            nmean_s = (zF32, zF32)
-
         wh, wl, wnh, wnl, rnt = gls_solve_fused(
             tile_k(ppk), tile_kc(cpk), tile_kc(fpk),
-            tile_kc(fp_i[:, :, 0:2]), tile_k(i32(KS)),
+            tile_kc(pair), tile_k(i32(KS)),
             tile_k(cell_valid.astype(f32)),
             tile_k(face_valid.astype(f32)),
             tile_k(is_neu.astype(f32)[:, None]),
             tile_k(valid.astype(f32)[:, None]),
-            tile_k(nmean_s[0]), tile_k(nmean_s[1]),
             with_neumann, rounds=rounds,
             # single-round CholQR contracts the residual by
             # ~eps32*cond(A) per sweep instead of cond-independently,
@@ -250,13 +236,10 @@ def _gls_bucket_impl(
         bm = bmask[:, :, None].astype(f64)
         Sbf = Sb.astype(f64)
         nLbm = to64(fpk, 12, 15, 15, 18) * bm   # nLb == nL1 bit-exactly
-        nvals = jnp.where(
-            fp_valid,
-            (nval_h[fpts_safe].astype(f64)
-             + nval_l[fpts_safe].astype(f64)), 0.0)
+        # per-face Neumann mean precomputed in f64 on the host (pack
+        # cols 26/27; hi + lo reconstructs the f64 mean bit-exactly)
         nmean = jnp.where(
-            bmask, jnp.sum(nvals, axis=2)
-            / jnp.maximum(jnp.sum(fp_valid, axis=2), 1), 0.0)   # (B,F)
+            bmask, to64(fpk, 26, 27, 27, 28)[..., 0], 0.0)      # (B,F)
     else:
         nmean = jnp.zeros((B, F), f64)
 
@@ -622,7 +605,7 @@ _gls_bucket_kernel = partial(
 # are replicated (per-node weights are node-local, SURVEY §2.3: stencil
 # gathers stay device-local; XLA inserts no collectives).  This is the
 # TPU-native analogue of adding OpenMP threads in the reference.
-_N_REPLICATED_ARGS = 10     # every positional arg after (nodes, valid)
+_N_REPLICATED_ARGS = 8      # every positional arg after (nodes, valid)
 _sharded_cache = {}
 
 
@@ -758,7 +741,7 @@ class GLSInterpolation:
             # straight into ONE preallocated buffer — concatenating
             # per-piece temporaries peaked ~1 GB higher at 2M-cell
             # scale (fresh-subprocess VmHWM).
-            flux = np.empty((grid.n_faces, 14), np.float32)
+            flux = np.empty((grid.n_faces, 16), np.float32)
 
             def sp_into(a, lo_col):
                 a = np.asarray(a, np.float64).reshape(grid.n_faces, -1)
@@ -771,24 +754,32 @@ class GLSInterpolation:
             sp_into(nL1g, 0)
             sp_into(nL2g, 6)
             sp_into(etag, 12)
-            del nL1g, nL2g, nLbg, etag
-            # EXACTLY 32 f32 columns — the widest row the TPU gather
-            # fast path handles (see _gls_bucket_impl): topology
-            # columns ride bitcast in the same row (bit patterns
+            # per-face Neumann mean (f64, same semantics as the oracle's
+            # np.mean over the face's points, gls.pyx:374-416) — packing
+            # it per FACE removes the per-face-POINT scalar value
+            # gathers from the Neumann-bucket kernels (those cost ~8
+            # cycles per row x 4F rows per node on this chip)
+            nvraw = np.asarray(points_data[nv_idx], np.float64)
+            ipofa = grid.inpofa
+            ipv = ipofa >= 0
+            nsum = np.where(ipv, nvraw[np.where(ipv, ipofa, 0)], 0.0)
+            nmean_face = (nsum.sum(axis=1)
+                          / np.maximum(ipv.sum(axis=1), 1))
+            sp_into(nmean_face, 14)
+            del nL1g, nL2g, nLbg, etag, nsum, nmean_face
+            # 30 f32 columns — under the 32-column (128-byte) cap of
+            # the TPU gather fast path (see _gls_bucket_impl): the esuf
+            # pair rides bitcast in the same row (bit patterns
             # preserved through gather/slice), the boundary flag and
             # nLb columns are derived in-kernel
             ip_f = jax.lax.bitcast_convert_type(dgrid.face_ipack,
                                                 jnp.float32)
             face_pack = jnp.concatenate(
-                [ip_f[:, 0:2], ip_f[:, 3:7],
+                [ip_f[:, 0:2],
                  dgrid.nrm_h, dgrid.nrm_l, dgrid.fcc_h, dgrid.fcc_l,
                  jnp.asarray(flux)], axis=1)
             del flux
-            nvraw = np.asarray(points_data[nv_idx], np.float64)
-            nvh = nvraw.astype(np.float32)
-            nvl = (nvraw - nvh.astype(np.float64)).astype(np.float32)
-            self._face_cache = (face_pack, jnp.asarray(neumann_flag),
-                                jnp.asarray(nvh), jnp.asarray(nvl))
+            self._face_cache = (face_pack, jnp.asarray(neumann_flag))
             self._face_cache_key = ckey
         face_dev = self._face_cache
 

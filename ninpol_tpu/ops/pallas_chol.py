@@ -221,7 +221,7 @@ def _gram_mxu(at, g_scr, n_pad, diag_vec):
                 + eye[:, :, None] * diag_vec[:, None, :])
 
 
-def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld, nmh, nml,
+def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
                   wh_ref, wl_ref, wnh_ref, wnl_ref, rn_ref,
                   a_scr, g_scr, li_scr,
                   *, E, F, n, n_pad, m, sweeps, with_neumann, tiny, shift,
@@ -234,10 +234,12 @@ def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld, nmh, nml,
     # sublane-aligned (K, NT) plane — a (K, c, NT) layout would pay a
     # relayout on every component slice).  The former XLA prologue
     # (T1/cross/tau/masks, plus one (G,K,3,NT) transpose per piece)
-    # collapses into VMEM work here; only the gathers, the Neumann
-    # face-point mean and the tiling transposes of the raw packs stay
-    # in XLA.  fpk column layout (methods/gls.py): nrm h/l | fcc h/l |
-    # nL1 h/l | nL2 h/l | eta h/l.
+    # collapses into VMEM work here; only the gathers and the tiling
+    # transposes of the raw packs stay in XLA.  fpk column layout
+    # (methods/gls.py): nrm h/l | fcc h/l | nL1 h/l | nL2 h/l |
+    # eta h/l | nmean h/l (the per-face Neumann mean is precomputed in
+    # f64 on the host — the former per-face-POINT scalar gathers cost
+    # ~8 cycles x 4F rows per node, more than the whole solve).
     ppk0, cpk0, fpk0 = ppk[0], cpk[0], fpk[0]
     k1 = k12[0][0]                                   # (F, NT) i32
     k2 = k12[0][1]
@@ -304,7 +306,7 @@ def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld, nmh, nml,
         # nLb == nL1 bit-exactly (both are perm[first_cell] @ N)
         lb = [(fpk0[12 + c] * bm32, fpk0[15 + c] * bm32)
               for c in range(3)]
-        nm = (nmh[0] * bm32, nml[0] * bm32)
+        nm = (fpk0[26] * bm32, fpk0[27] * bm32)
     else:
         Sb = None
         lb = None
@@ -513,7 +515,6 @@ def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld, nmh, nml,
 
 
 def gls_solve_fused(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
-                    nmean_h, nmean_l,
                     with_neumann, sweeps=3, tiny=1e-12, shift=1.5e-5,
                     rounds=2):
     """The whole GLS mixed-precision solve as ONE Pallas pass per tile.
@@ -522,12 +523,11 @@ def gls_solve_fused(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
     axis outermost (see methods/gls.py):
       ppk (G, 6, NT) f32      point coords hi(3)+lo(3)
       cpk (G, 6, E, NT) f32   cell centroids hi(3)+lo(3)
-      fpk (G, 26, F, NT) f32  nrm/fcc/nL1/nL2 hi+lo, eta hi+lo
+      fpk (G, 28, F, NT) f32  nrm/fcc/nL1/nL2 hi+lo, eta h/l, nmean h/l
       k12 (G, 2, F, NT) i32   esuf pair (k2 < 0 marks boundary)
       ks  (G, E, NT) i32      surrounding cells (clipped)
       cv/fv                   cell/face validity (f32 0/1)
       neu/vld (G, 1, NT)      Neumann flag / bucket-valid flag
-      nmean_* (G, F, NT)      Neumann face-point means (unmasked)
 
     Per tile, entirely in VMEM: df32 geometric prologue (T1, cross,
     tau via df32 exp2/log2), one-hot incidence, assembly, shifted
@@ -553,9 +553,8 @@ def gls_solve_fused(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
     return pl.pallas_call(
         kern,
         grid=(G,),
-        in_specs=[sp(6, NT), sp(6, E, NT), sp(26, F, NT), sp(2, F, NT),
-                  sp(E, NT), sp(E, NT), sp(F, NT), sp(1, NT), sp(1, NT),
-                  sp(F, NT), sp(F, NT)],
+        in_specs=[sp(6, NT), sp(6, E, NT), sp(28, F, NT), sp(2, F, NT),
+                  sp(E, NT), sp(E, NT), sp(F, NT), sp(1, NT), sp(1, NT)],
         out_specs=[sp(E, NT), sp(E, NT), sp(1, NT), sp(1, NT),
                    sp(1, NT)],
         out_shape=[jax.ShapeDtypeStruct((G, E, NT), _F32),
@@ -571,7 +570,7 @@ def gls_solve_fused(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=INTERPRET,
-    )(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld, nmean_h, nmean_l)
+    )(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld)
 
 
 def _prec_apply_kernel(lc_ref, v_ref, o_ref, *, n):

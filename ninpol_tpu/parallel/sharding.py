@@ -101,20 +101,23 @@ def sharded_gls(dgrid, mesh, shard_geometry=False, axis="nodes"):
             return _sp(a)
         point_pack = hpack(np.asarray(grid.point_coords))
         cell_pack = hpack(np.asarray(grid.centroids))
-        face_ipack = np.concatenate(
-            [dgrid.esuf2d_h[:, :2],
-             grid.boundary_faces.astype(np.int32)[:, None],
-             grid.inpofa.astype(np.int32)], axis=1)
-        # exactly-32-column packed face row (see methods/gls.py): esuf
-        # pair + inpofa bitcast, then nrm/fcc/nL1/nL2 hi+lo, eta hi+lo
-        # (boundary flag and nLb are derived in-kernel)
-        ip_f = face_ipack.view(np.float32)
+        # 30-column packed face row (see methods/gls.py): esuf pair
+        # bitcast, then nrm/fcc/nL1/nL2 hi+lo, eta hi+lo, nmean hi+lo
+        # (boundary flag and nLb are derived in-kernel; nmean is the
+        # per-face f64 Neumann mean over the face's points)
+        ip_f = np.ascontiguousarray(
+            dgrid.esuf2d_h[:, :2]).view(np.float32)
+        nvraw = np.asarray(neumann_val, np.float64)
+        ipofa = grid.inpofa
+        ipv = ipofa >= 0
+        nsum = np.where(ipv, nvraw[np.where(ipv, ipofa, 0)], 0.0)
+        nmean_face = nsum.sum(axis=1) / np.maximum(ipv.sum(axis=1), 1)
         face_pack = np.concatenate(
-            [ip_f[:, 0:2], ip_f[:, 3:7],
+            [ip_f[:, 0:2],
              hpack(grid.normal_faces), hpack(grid.faces_centers),
              hpack(nL1g), hpack(nL2g),
-             np.concatenate(_sp2(etag[:, None]), axis=1)], axis=1)
-        nv_h, nv_l = _sp(np.asarray(neumann_val, np.float64))
+             np.concatenate(_sp2(etag[:, None]), axis=1),
+             np.concatenate(_sp2(nmean_face[:, None]), axis=1)], axis=1)
 
         args = (
             jax.device_put(bucket["nodes"], node_sh),
@@ -122,7 +125,7 @@ def sharded_gls(dgrid, mesh, shard_geometry=False, axis="nodes"):
             put(dgrid.esup2d), put(dgrid.esup_cnt),
             put(dgrid.fsup2d), put(dgrid.fsup_cnt),
             put(point_pack), put(cell_pack), put(face_pack),
-            put(np.asarray(neumann_flag)), put(nv_h), put(nv_l),
+            put(np.asarray(neumann_flag)),
         )
         with mesh:
             return _gls_bucket_kernel(

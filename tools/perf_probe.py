@@ -51,7 +51,7 @@ def probe_kernel(E, F, B, with_neumann=False, sweeps=3, rounds=2):
     # gather rows, component axis outermost
     ppk = jnp.asarray(rng.standard_normal((G, 6, NT)), f32)
     cpk = jnp.asarray(rng.standard_normal((G, 6, E, NT)), f32)
-    fpk = jnp.asarray(rng.standard_normal((G, 26, F, NT)) * 0.3, f32)
+    fpk = jnp.asarray(rng.standard_normal((G, 28, F, NT)) * 0.3, f32)
     # eta rows positive-ish; tau clamps handle the rest
     fpk = fpk.at[:, 24].set(jnp.abs(fpk[:, 24]) + 1.0)
     fpk = fpk.at[:, 25].set(0.0)
@@ -65,12 +65,9 @@ def probe_kernel(E, F, B, with_neumann=False, sweeps=3, rounds=2):
     fv = jnp.ones((G, F, NT), f32)
     neu = jnp.zeros((G, 1, NT), f32)
     vld = jnp.ones((G, 1, NT), f32)
-    nm = (jnp.asarray(np.abs(rng.standard_normal((G, F, NT))) + 0.1,
-                      f32), jnp.zeros((G, F, NT), f32))
 
     def run():
         return gls_solve_fused(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
-                               nm[0], nm[1],
                                with_neumann, sweeps=sweeps, rounds=rounds)
 
     t0 = time.perf_counter()
@@ -152,8 +149,7 @@ def main():
         # ---- packed-gather cost check --------------------------------
         import jax
         (nodes_d, valid_d, esup2d, esup_cnt, fsup2d, fsup_cnt,
-         point_pack, cell_pack, face_pack,
-         nflag, nval_h, nval_l) = args
+         point_pack, cell_pack, face_pack, nflag) = args
 
         @jax.jit
         def gathers_only(nodes):
