@@ -134,9 +134,12 @@ def main():
     n = int(os.environ.get("NINPOL_BENCH_N", "68"))
     t_all = time.perf_counter()
     interp, build_time = build_problem(n)
-    # experimentation knob: single-round CholQR preconditioner
+    # experimentation knobs: single-round CholQR preconditioner /
+    # refinement sweep count (sweeps = n_refine + 1; CPU probes show 2
+    # sweeps already at the df32 floor — tools/sweep_probe.py)
     interp.gls.precond_rounds = int(
         os.environ.get("NINPOL_BENCH_ROUNDS", "2"))
+    interp.gls.n_refine = int(os.environ.get("NINPOL_BENCH_REFINE", "2"))
     grid = interp.grid
     n_points = grid.n_points
     n_cells = grid.n_elems

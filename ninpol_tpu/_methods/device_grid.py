@@ -248,6 +248,36 @@ class DeviceGrid:
         return out
 
 
+from functools import partial as _partial
+
+
+def _pad_cols_j(w, ncols_out, extra=0):
+    ncols = min(w.shape[1], ncols_out)
+    return jnp.concatenate(
+        [w[:, :ncols],
+         jnp.zeros((w.shape[0], ncols_out - ncols + extra), w.dtype)],
+        axis=1)
+
+
+@_partial(jax.jit, static_argnames=("n_target", "ncols_out"))
+def _deliver_device_j(rows_list, pos_list, *, n_target, ncols_out):
+    """One program: pad + scatter all bucket rows into the consolidated
+    [weights | 0] array (eager per-bucket pad/concat/scatter ops each
+    cost ~10 s of executable load through this environment's helper)."""
+    wdev = jnp.zeros((n_target, ncols_out + 1), jnp.float64)
+    for w, pos in zip(rows_list, pos_list):
+        wdev = wdev.at[pos].set(_pad_cols_j(w, ncols_out, extra=1),
+                                mode="drop")
+    return wdev
+
+
+@_partial(jax.jit, static_argnames=("delivery_f32", "ncols_out"))
+def _deliver_concat_j(rows_list, *, delivery_f32, ncols_out):
+    rows = [_pad_cols_j(w, ncols_out) for w in rows_list]
+    cat = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
+    return cat.astype(jnp.float32) if delivery_f32 else cat
+
+
 def deliver_weights(launched, weights, neumann_ws, n_target, device_out,
                     delivery_f32=False):
     """Shared IDW/LS result delivery.
@@ -258,26 +288,25 @@ def deliver_weights(launched, weights, neumann_ws, n_target, device_out,
     never write it, idw.pyx/ls.pyx) for on-device consumers, skipping
     the host relay entirely.  delivery_f32=True fetches the rows as
     float32 (half the relay bytes; ~1e-7 relative rounding — documented
-    non-parity knob)."""
+    non-parity knob).  Bucket rows may be narrower than the output:
+    padding happens inside the jitted consolidation."""
     ncols_out = weights.shape[1]
     if device_out:
-        wdev = jnp.zeros((n_target, ncols_out + 1), jnp.float64)
-        for bucket, w in launched:
-            pos = jnp.asarray(np.where(bucket["pos"] >= 0,
-                                       bucket["pos"], n_target))
-            rows = jnp.concatenate(
-                [w, jnp.zeros((w.shape[0], 1), w.dtype)], axis=1)
-            wdev = wdev.at[pos].set(rows, mode="drop")
-        return wdev
+        if not launched:
+            return jnp.zeros((n_target, ncols_out + 1), jnp.float64)
+        pos_list = tuple(jnp.asarray(np.where(b["pos"] >= 0,
+                                              b["pos"], n_target))
+                         for b, _ in launched)
+        return _deliver_device_j(tuple(w for _, w in launched),
+                                 pos_list, n_target=n_target,
+                                 ncols_out=ncols_out)
     if not launched:
         return weights, neumann_ws
     # one consolidated fetch (the host link has ~70 ms latency per
     # transfer; see methods/gls.py)
-    cat = (launched[0][1] if len(launched) == 1 else
-           jnp.concatenate([w for _, w in launched], axis=0))
-    if delivery_f32:
-        cat = cat.astype(jnp.float32)
-    host = np.asarray(cat)
+    host = np.asarray(_deliver_concat_j(
+        tuple(w for _, w in launched), delivery_f32=bool(delivery_f32),
+        ncols_out=ncols_out))
     lo = 0
     for bucket, w in launched:
         nb = w.shape[0]

@@ -84,7 +84,7 @@ def _gls_bucket_impl(
     # 32 f32 columns (measured on this chip: the old 17 narrow
     # per-array gathers took as long as the entire fused solve kernel),
     # so everything per-entity comes from ONE packed-row gather:
-    # point_pack (6 f32), cell_pack (6 f32), face_pack (32 f32, layout
+    # point_pack (6 f32), cell_pack (6 f32), face_pack (30 f32, layout
     # below).
     KSetv = esup2d[nodes, :E]                                   # (B,E)
     n_elem = jnp.minimum(esup_cnt[nodes], E)                    # (B,)
@@ -628,6 +628,56 @@ def _gls_bucket_sharded(mesh, statics):
     return fn
 
 
+# ---------------------------------------------------------------------------
+# Consolidated output assembly: ONE jitted program per prepare() call
+# (plus one per host-delivery group) instead of eager per-bucket
+# pad/concat/scatter ops.  Through this environment's remote helper an
+# executable LOAD costs ~10 s per program even fully cached, so the
+# ~dozen tiny eager programs of the per-bucket tail dominated process
+# warm-start; fusing them also removes ~2 dispatch round-trips per
+# bucket from the critical path.
+# ---------------------------------------------------------------------------
+def _pad_rows_j(w, wn, ncols_out):
+    ncols = min(w.shape[1], ncols_out)
+    return jnp.concatenate([
+        w[:, :ncols],
+        jnp.zeros((w.shape[0], ncols_out - ncols), w.dtype),
+        wn[:, None]], axis=1)
+
+
+@partial(jax.jit, static_argnames=("n_target",))
+def _consolidate_rnorm(rns, pos, tol, *, n_target):
+    """Scatter per-bucket rnorm vectors into one (n_target,) array and
+    count unconverged nodes (NaN-safe: not provably converged counts)."""
+    rndev = jnp.zeros((n_target,), jnp.float64)
+    for rn, p in zip(rns, pos):
+        rndev = rndev.at[p].set(rn, mode="drop")
+    return rndev, jnp.sum(~(rndev <= tol))
+
+
+@partial(jax.jit, static_argnames=("ncols_out", "n_target"))
+def _consolidate_device(parts, pos, rns, tol, *, ncols_out, n_target):
+    """device_out path: scatter all bucket rows into ONE consolidated
+    (n_target, ncols_out + 1) float64 [weights | neumann] array, plus
+    the rnorm consolidation — a single program per bucket plan."""
+    rndev = jnp.zeros((n_target,), jnp.float64)
+    wdev = jnp.zeros((n_target, ncols_out + 1), jnp.float64)
+    for (w, wn), rn, p in zip(parts, rns, pos):
+        rndev = rndev.at[p].set(rn, mode="drop")
+        wdev = wdev.at[p].set(_pad_rows_j(w, wn, ncols_out), mode="drop")
+    return wdev, rndev, jnp.sum(~(rndev <= tol))
+
+
+@partial(jax.jit, static_argnames=("ncols_out", "delivery_f32"))
+def _concat_group(parts, *, ncols_out, delivery_f32):
+    """Host-delivery path: pad + concatenate one fetch group's bucket
+    rows in a single program (fetch of group k overlaps the still-
+    running bucket kernels of groups > k)."""
+    rows = [_pad_rows_j(w, wn, ncols_out) for w, wn in parts]
+    cat = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
+    return cat.astype(jnp.float32) if delivery_f32 else cat
+
+
 def precompute_face_data(grid, perm, diff_mag):
     """Per-face flux vectors K N for both sides + eta = max diff_mag of
     the pair — pure face data the reference recomputes per node
@@ -707,6 +757,20 @@ class GLSInterpolation:
     def prepare(self, dgrid, cells_data, points_data, faces_data,
                 variable_to_index, variable, target_points,
                 weights, neumann_ws, device_out=False):
+        # NINPOL_TPU_PHASES=1: per-phase wall timing to stderr (for
+        # attributing end-to-end overhead on hardware; phases overlap
+        # device compute, so they sum to dispatch-side wall, not device
+        # time)
+        import os as _os
+        import time as _time
+        _phase_on = _os.environ.get("NINPOL_TPU_PHASES") == "1"
+        _tp0 = _time.perf_counter()
+        _ph = []
+
+        def _mark(name):
+            if _phase_on:
+                _ph.append((name, _time.perf_counter() - _tp0))
+
         grid = dgrid.grid
         perm_idx = variable_to_index["cells"]["permeability"]
         diff_idx = variable_to_index["cells"]["diff_mag"]
@@ -782,6 +846,7 @@ class GLSInterpolation:
             self._face_cache = (face_pack, jnp.asarray(neumann_flag))
             self._face_cache_key = ckey
         face_dev = self._face_cache
+        _mark("face_cache")
 
         solver = self.solver
         if solver == "auto":
@@ -828,36 +893,26 @@ class GLSInterpolation:
                                         batch_align=balign):
                 bucket["with_neumann"] = wneu
                 all_buckets.append(bucket)
+        _mark("bucket_plan")
 
-        # Dispatch all chunks asynchronously (JAX queues them), scatter
-        # each chunk's rows into ONE consolidated device array, and fetch
-        # that array ONCE at the end: the host<->device relay here has
-        # ~70 ms latency PER TRANSFER at ~50 MB/s, so per-chunk fetches
-        # (round 1) cost seconds of pure latency.
+        # Dispatch all chunks asynchronously (JAX queues them), then
+        # consolidate every bucket's output in ONE jitted program (plus
+        # one per host-delivery fetch group): the host<->device relay
+        # here has ~70 ms latency PER TRANSFER at ~50 MB/s, and each
+        # distinct eager op is a separate executable costing ~10 s to
+        # load through the remote helper even fully cached.
         n_target = len(target_points)
         ncols_out = weights.shape[1]
-        wdev = (jnp.zeros((n_target, ncols_out + 1), jnp.float64)
-                if device_out else None)
-        rndev = jnp.zeros((n_target,), jnp.float64)
 
         def pad_rows(bucket, w, wn):
-            ncols = min(bucket["E"], ncols_out)
-            return jnp.concatenate([
-                w[:, :ncols],
-                jnp.zeros((w.shape[0], ncols_out - ncols), w.dtype),
-                wn[:, None]], axis=1)
+            return _pad_rows_j(w, wn, ncols_out)
 
-        def scatter_bucket(bucket, w, wn, wdev, rndev=None, rnorm=None):
+        def scatter_bucket(bucket, w, wn, wdev):
             # invalid (padding) rows carry pos == -1; route them out of
             # bounds and drop (negative indices would WRAP in jnp)
             pos = jnp.asarray(np.where(bucket["pos"] >= 0,
                                        bucket["pos"], n_target))
-            if wdev is not None:
-                wdev = wdev.at[pos].set(pad_rows(bucket, w, wn),
-                                        mode="drop")
-            if rnorm is not None:
-                rndev = rndev.at[pos].set(rnorm, mode="drop")
-            return wdev, rndev
+            return wdev.at[pos].set(pad_rows(bucket, w, wn), mode="drop")
 
         # Pull each DISTINCT compiled program through the remote helper
         # from a thread pool before the sequential launch: even fully
@@ -879,20 +934,33 @@ class GLSInterpolation:
                             for b in first_of.values()}
                     for f in futs:
                         preloaded[futs[f]] = f.result()
+        _mark("preload")
 
         launched = []
         for bucket in all_buckets:
             res = preloaded.pop(id(bucket), None)
             w, wn, rnorm = (res if res is not None
                             else run_bucket(bucket, self.exact))
-            _, rndev = scatter_bucket(bucket, None, None, None, rndev,
-                                      rnorm)
-            if device_out:
-                wdev, _ = scatter_bucket(bucket, w, wn, wdev)
-            else:
-                launched.append((bucket, pad_rows(bucket, w, wn)))
+            launched.append((bucket, w, wn, rnorm))
+        _mark("dispatch")
 
-        if not device_out:
+        # all padding positions route out of bounds and drop (negative
+        # indices would WRAP in jnp)
+        pos_dev = tuple(jnp.asarray(np.where(b["pos"] >= 0, b["pos"],
+                                             n_target))
+                        for b, _, _, _ in launched)
+        rns = tuple(r for _, _, _, r in launched)
+        tol = np.float64(self.fallback_tol
+                         if self.fallback_tol is not None else 0.0)
+        if device_out:
+            wdev, rndev, n_bad_dev = _consolidate_device(
+                tuple((w, wn) for _, w, wn, _ in launched),
+                pos_dev, rns, tol, ncols_out=ncols_out,
+                n_target=n_target)
+            _mark("consolidate")
+        else:
+            rndev, n_bad_dev = _consolidate_rnorm(
+                rns, pos_dev, tol, n_target=n_target)
             # Host delivery: group chunk outputs into a few compact
             # device concats and fetch them SEQUENTIALLY — this relay
             # serializes transfers (concurrent fetches stall), but a
@@ -905,21 +973,23 @@ class GLSInterpolation:
                       for i in range(0, len(launched), per)]
             fetched = []
             for grp in groups:
-                cat = (grp[0][1] if len(grp) == 1 else
-                       jnp.concatenate([r for _, r in grp], axis=0))
-                if self.delivery_f32:
-                    cat = cat.astype(jnp.float32)
+                cat = _concat_group(
+                    tuple((w, wn) for _, w, wn, _ in grp),
+                    ncols_out=ncols_out,
+                    delivery_f32=bool(self.delivery_f32))
                 fetched.append((grp, np.asarray(cat)))
+                _mark("fetch_group")
             for grp, host in fetched:
                 lo = 0
-                for bucket, rows in grp:
-                    nb = rows.shape[0]
+                for bucket, w, _, _ in grp:
+                    nb = w.shape[0]
                     sel = bucket["valid"]
                     pos = bucket["pos"][sel]
                     blk = host[lo:lo + nb][sel]
                     weights[pos, :] = blk[:, :ncols_out]
                     neumann_ws[pos] = blk[:, ncols_out]
                     lo += nb
+            _mark("host_write")
 
         if not self.exact and self.fallback_tol is not None:
             # a 1-element device-side count decides whether the full
@@ -927,7 +997,8 @@ class GLSInterpolation:
             # inactive rows carry rnorm == 0, so only genuinely
             # unconverged nodes count); NaN-safe: anything not provably
             # converged falls back
-            n_bad = int(np.asarray(jnp.sum(~(rndev <= self.fallback_tol))))
+            n_bad = int(np.asarray(n_bad_dev))
+            _mark(f"n_bad_sync(n_bad={n_bad})")
             bad_all = np.zeros(n_target, dtype=bool)
             if n_bad:
                 rn_host = np.asarray(rndev)
@@ -966,18 +1037,28 @@ class GLSInterpolation:
                         fb["pos"][:nb] = bad_pos[lo:lo + nb]
                         w2, wn2, _ = run_bucket(fb, True)
                         if device_out:
-                            wdev, _ = scatter_bucket(fb, w2, wn2, wdev)
+                            wdev = scatter_bucket(fb, w2, wn2, wdev)
                         else:
                             host = np.asarray(pad_rows(fb, w2, wn2))[:nb]
                             fpos = fb["pos"][:nb]
                             weights[fpos, :] = host[:, :ncols_out]
                             neumann_ws[fpos] = host[:, ncols_out]
+            if bad_all.any():
+                _mark("exact_fallback")
 
         if device_out:
             # device-resident result: (n_target, ncols+1) float64 of
             # [weights | neumann_w] — for on-device consumers (e.g. an
             # MPFA assembly) and for benchmarking compute separately
             # from the host-delivery cost of this environment's relay.
+            if _phase_on:
+                import sys as _sys
+                print("# gls phases: " + " ".join(
+                    f"{n}={t:.3f}s" for n, t in _ph), file=_sys.stderr)
             return wdev
 
+        if _phase_on:
+            import sys as _sys
+            print("# gls phases: " + " ".join(
+                f"{n}={t:.3f}s" for n, t in _ph), file=_sys.stderr)
         return weights, neumann_ws

@@ -119,7 +119,6 @@ class LSInterpolation:
 
         mesh = getattr(dgrid, "mesh", None)
         balign = 256 if mesh is None else max(256, 128 * mesh.devices.size)
-        ncols_out = weights.shape[1]
         launched = []
         for bucket in dgrid.buckets(target_points, active,
                                     need_faces=False, chunk_size=131072,
@@ -133,9 +132,9 @@ class LSInterpolation:
                 from .idw import sharded_simple_kernel
                 w = sharded_simple_kernel(
                     _ls_bucket_impl, mesh, (("E", bucket["E"]),), 4)(*args)
-            ncols = min(bucket["E"], ncols_out)
-            launched.append((bucket, jnp.pad(
-                w[:, :ncols], ((0, 0), (0, ncols_out - ncols)))))
+            # column padding to ncols_out happens inside the jitted
+            # delivery consolidation (device_grid.deliver_weights)
+            launched.append((bucket, w))
         return deliver_weights(launched, weights, neumann_ws,
                                len(target_points), device_out,
                                self.delivery_f32)

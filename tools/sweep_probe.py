@@ -60,5 +60,5 @@ def run(fam, n):
 
 
 if __name__ == "__main__":
-    for fam, n in (("tetra", 6), ("hexa", 8), ("prism", 6), ("mixed", 4)):
+    for fam, n in (("tetra", 16), ("hexa", 20), ("prism", 12)):
         run(fam, n)
