@@ -178,6 +178,12 @@ def main():
     print(f"# GLS weights (host-complete): {t_gls:.3f}s -> "
           f"{mnodes:.3f} Mnodes/s (runs: {[round(t, 3) for t in times]})",
           file=sys.stderr)
+    # keep the watchdog JSON carrying every number already measured
+    _partial.update(value=round(mnodes, 4),
+                    vs_baseline=round(mnodes / BASELINE_MNODES_S, 2),
+                    gls_time_s=round(t_gls, 4),
+                    grid_build_s=round(build_time, 3),
+                    n_cells=int(n_cells), n_points=int(n_points))
 
     # device-complete: weights resident on the TPU (the natural product
     # for an on-device MPFA consumer); separates compute from this

@@ -302,16 +302,28 @@ def deliver_weights(launched, weights, neumann_ws, n_target, device_out,
                                  ncols_out=ncols_out)
     if not launched:
         return weights, neumann_ws
-    # one consolidated fetch (the host link has ~70 ms latency per
-    # transfer; see methods/gls.py)
-    host = np.asarray(_deliver_concat_j(
-        tuple(w for _, w in launched), delivery_f32=bool(delivery_f32),
-        ncols_out=ncols_out))
-    lo = 0
-    for bucket, w in launched:
-        nb = w.shape[0]
-        sel = bucket["valid"]
-        pos = bucket["pos"][sel]
-        weights[pos, :] = host[lo:lo + nb][sel]
-        lo += nb
+    # A few compact fetch groups (amortizes the ~70 ms per-transfer
+    # relay latency); group k+1's transfer runs on a helper thread (the
+    # relay fetch is IO-bound and releases the GIL) while the main
+    # thread scatters group k's rows into `weights`.
+    n_groups = min(4, max(1, len(launched)))
+    per = -(-len(launched) // n_groups)
+    groups = [launched[i:i + per] for i in range(0, len(launched), per)]
+    cats = [_deliver_concat_j(tuple(w for _, w in grp),
+                              delivery_f32=bool(delivery_f32),
+                              ncols_out=ncols_out) for grp in groups]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=1) as tpe:
+        fut = tpe.submit(np.asarray, cats[0])
+        for gi, grp in enumerate(groups):
+            host = fut.result()
+            if gi + 1 < len(groups):
+                fut = tpe.submit(np.asarray, cats[gi + 1])
+            lo = 0
+            for bucket, w in grp:
+                nb = w.shape[0]
+                sel = bucket["valid"]
+                pos = bucket["pos"][sel]
+                weights[pos, :] = host[lo:lo + nb][sel]
+                lo += nb
     return weights, neumann_ws

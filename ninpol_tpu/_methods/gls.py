@@ -971,15 +971,12 @@ class GLSInterpolation:
             per = -(-len(launched) // n_groups)
             groups = [launched[i:i + per]
                       for i in range(0, len(launched), per)]
-            fetched = []
-            for grp in groups:
-                cat = _concat_group(
-                    tuple((w, wn) for _, w, wn, _ in grp),
-                    ncols_out=ncols_out,
-                    delivery_f32=bool(self.delivery_f32))
-                fetched.append((grp, np.asarray(cat)))
-                _mark("fetch_group")
-            for grp, host in fetched:
+            cats = [_concat_group(
+                tuple((w, wn) for _, w, wn, _ in grp),
+                ncols_out=ncols_out,
+                delivery_f32=bool(self.delivery_f32)) for grp in groups]
+
+            def write_group(grp, host):
                 lo = 0
                 for bucket, w, _, _ in grp:
                     nb = w.shape[0]
@@ -989,6 +986,20 @@ class GLSInterpolation:
                     weights[pos, :] = blk[:, :ncols_out]
                     neumann_ws[pos] = blk[:, ncols_out]
                     lo += nb
+
+            # Fetch group k+1 on a helper thread (the relay transfer is
+            # IO-bound and releases the GIL) while the main thread does
+            # group k's host row writes — the scatter into `weights` is
+            # pure NumPy and otherwise serializes after the last fetch.
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=1) as tpe:
+                fut = tpe.submit(np.asarray, cats[0])
+                for gi, grp in enumerate(groups):
+                    host = fut.result()
+                    _mark("fetch_group")
+                    if gi + 1 < len(groups):
+                        fut = tpe.submit(np.asarray, cats[gi + 1])
+                    write_group(grp, host)
             _mark("host_write")
 
         if not self.exact and self.fallback_tol is not None:
