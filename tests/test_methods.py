@@ -157,3 +157,27 @@ def test_subset_targets():
     Wfull, _ = interp.prepare_interpolator("gls", case.name, tp_all)
     Wsub, _ = interp.prepare_interpolator("gls", case.name, subset)
     assert np.abs(Wsub - Wfull[::3]).max() < 1e-12
+
+
+def test_fallback_storm_routes_all_nodes_to_exact():
+    """fallback_tol below the mixed path's floor forces EVERY active
+    node through the rnorm -> exact-f64 re-solve (the device-side n_bad
+    count plus the fallback batching), host and device_out deliveries
+    both; the result must match a pure exact=True run bit-for-bit."""
+    case, interp = setup_case("tetra", 3)
+    tp = np.arange(interp.grid.n_points)
+
+    interp.gls.exact = True
+    We, NWe = interp.prepare_interpolator("gls", case.name, tp)
+
+    interp.gls.exact = False
+    interp.gls.fallback_tol = 0.0          # nothing is provably converged
+    Wf, NWf = interp.prepare_interpolator("gls", case.name, tp)
+    assert np.abs(We - Wf).max() == 0.0
+    assert np.abs(NWe - NWf).max() == 0.0
+
+    wdev = interp.prepare_interpolator("gls", case.name, tp,
+                                       device_out=True)
+    wd = np.asarray(wdev)
+    assert np.abs(wd[:, :We.shape[1]] - We).max() == 0.0
+    assert np.abs(wd[:, -1] - NWe).max() == 0.0
