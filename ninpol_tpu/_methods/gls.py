@@ -678,6 +678,14 @@ def _concat_group(parts, *, ncols_out, delivery_f32):
     return cat.astype(jnp.float32) if delivery_f32 else cat
 
 
+def _group_plan(items):
+    """Fetch-group composition for host delivery (shared by the real
+    fetch loop and the shape-only executable preload)."""
+    n_groups = min(4, max(1, len(items)))
+    per = -(-len(items) // n_groups)
+    return [items[i:i + per] for i in range(0, len(items), per)]
+
+
 def precompute_face_data(grid, perm, diff_mag):
     """Per-face flux vectors K N for both sides + eta = max diff_mag of
     the pair — pure face data the reference recomputes per node
@@ -918,22 +926,57 @@ class GLSInterpolation:
         # from a thread pool before the sequential launch: even fully
         # cached, an executable load blocks the dispatching thread for
         # ~10 s per program through this environment's helper, and the
-        # loads overlap across threads (a cold process touches 4-6
-        # programs -> tens of seconds of warm-start saved).  Results are
-        # kept, so no work is dispatched twice.
+        # loads overlap across threads (a cold process touches 4-10
+        # programs -> a minute or more of warm-start saved).  The solve
+        # programs are preloaded by RUNNING the first bucket of each
+        # class (results kept, no work dispatched twice); the output
+        # consolidation programs are preloaded with same-shape
+        # device-resident zero inputs (their junk results are dropped,
+        # and jnp.zeros allocates on device — no host transfer).
         preloaded = {}
-        if mesh is None and len(all_buckets) > 1:
+        if mesh is None and all_buckets:
             first_of = {}
             for b in all_buckets:
                 k = (b["E"], b["F"], len(b["pos"]), b["with_neumann"])
                 first_of.setdefault(k, b)
-            if len(first_of) > 1:
-                from concurrent.futures import ThreadPoolExecutor
-                with ThreadPoolExecutor(min(8, len(first_of))) as ex:
-                    futs = {ex.submit(run_bucket, b, self.exact): id(b)
-                            for b in first_of.values()}
-                    for f in futs:
-                        preloaded[futs[f]] = f.result()
+            f64_ = jnp.float64
+            zeros = jnp.zeros
+
+            def dummy_parts(bs):
+                return tuple((zeros((len(b["pos"]), b["E"]), f64_),
+                              zeros((len(b["pos"]),), f64_)) for b in bs)
+
+            def dummy_scatter_args(bs):
+                return (tuple(zeros((len(b["pos"]),), f64_) for b in bs),
+                        tuple(zeros((len(b["pos"]),), jnp.int64)
+                              for b in bs), np.float64(0.0))
+
+            def preload_consolidate():
+                rns_d, pos_d, tol_d = dummy_scatter_args(all_buckets)
+                if device_out:
+                    _consolidate_device(dummy_parts(all_buckets), pos_d,
+                                        rns_d, tol_d, ncols_out=ncols_out,
+                                        n_target=n_target)
+                else:
+                    _consolidate_rnorm(rns_d, pos_d, tol_d,
+                                       n_target=n_target)
+
+            def preload_concat(grp):
+                _concat_group(dummy_parts(grp), ncols_out=ncols_out,
+                              delivery_f32=bool(self.delivery_f32))
+
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(min(8, len(first_of) + 5)) as ex:
+                futs = {ex.submit(run_bucket, b, self.exact): id(b)
+                        for b in first_of.values()}
+                cjobs = [ex.submit(preload_consolidate)]
+                if not device_out:
+                    cjobs += [ex.submit(preload_concat, grp)
+                              for grp in _group_plan(all_buckets)]
+                for f in futs:
+                    preloaded[futs[f]] = f.result()
+                for c in cjobs:
+                    c.result()
         _mark("preload")
 
         launched = []
@@ -967,10 +1010,7 @@ class GLSInterpolation:
             # fetch of an early group overlaps the still-running compute
             # of later groups; grouping also amortizes the ~70 ms
             # per-transfer latency.
-            n_groups = min(4, max(1, len(launched)))
-            per = -(-len(launched) // n_groups)
-            groups = [launched[i:i + per]
-                      for i in range(0, len(launched), per)]
+            groups = _group_plan(launched)
             cats = [_concat_group(
                 tuple((w, wn) for _, w, wn, _ in grp),
                 ncols_out=ncols_out,
