@@ -278,6 +278,60 @@ def _deliver_concat_j(rows_list, *, delivery_f32, ncols_out):
     return cat.astype(jnp.float32) if delivery_f32 else cat
 
 
+def group_plan(items):
+    """Fetch-group composition for host delivery (shared by the real
+    fetch loops and the shape-only executable preloads)."""
+    n_groups = min(4, max(1, len(items)))
+    per = -(-len(items) // n_groups)
+    return [items[i:i + per] for i in range(0, len(items), per)]
+
+
+def dispatch_with_preload(buckets, run, n_target, ncols_out, device_out,
+                          delivery_f32):
+    """Dispatch ``run(bucket)`` for every bucket, first pulling each
+    DISTINCT compiled program through the remote helper from a thread
+    pool: even fully cached, an executable load blocks the dispatching
+    thread ~10 s through this environment's helper, and loads overlap
+    across threads.  The solve programs preload by RUNNING the first
+    bucket of each (E, B) class (results kept — no work runs twice);
+    the delivery consolidation preloads with same-shape device-resident
+    zero inputs (junk results dropped; jnp.zeros allocates on device)."""
+    preloaded = {}
+    if buckets:
+        first_of = {}
+        for b in buckets:
+            first_of.setdefault((b["E"], len(b["pos"])), b)
+
+        def dummy_rows(bs):
+            return tuple(jnp.zeros((len(b["pos"]), b["E"]), jnp.float64)
+                         for b in bs)
+
+        def preload_delivery():
+            if device_out:
+                pos = tuple(jnp.zeros((len(b["pos"]),), jnp.int64)
+                            for b in buckets)
+                _deliver_device_j(dummy_rows(buckets), pos,
+                                  n_target=n_target, ncols_out=ncols_out)
+            else:
+                for grp in group_plan(buckets):
+                    _deliver_concat_j(dummy_rows(grp),
+                                      delivery_f32=bool(delivery_f32),
+                                      ncols_out=ncols_out)
+
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(8, len(first_of) + 1)) as ex:
+            futs = {ex.submit(run, b): id(b) for b in first_of.values()}
+            job = ex.submit(preload_delivery)
+            for f in futs:
+                preloaded[futs[f]] = f.result()
+            job.result()
+    out = []
+    for b in buckets:
+        w = preloaded.pop(id(b), None)
+        out.append((b, w if w is not None else run(b)))
+    return out
+
+
 def deliver_weights(launched, weights, neumann_ws, n_target, device_out,
                     delivery_f32=False):
     """Shared IDW/LS result delivery.
@@ -306,9 +360,7 @@ def deliver_weights(launched, weights, neumann_ws, n_target, device_out,
     # relay latency); group k+1's transfer runs on a helper thread (the
     # relay fetch is IO-bound and releases the GIL) while the main
     # thread scatters group k's rows into `weights`.
-    n_groups = min(4, max(1, len(launched)))
-    per = -(-len(launched) // n_groups)
-    groups = [launched[i:i + per] for i in range(0, len(launched), per)]
+    groups = group_plan(launched)
     cats = [_deliver_concat_j(tuple(w for _, w in grp),
                               delivery_f32=bool(delivery_f32),
                               ncols_out=ncols_out) for grp in groups]

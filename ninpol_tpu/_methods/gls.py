@@ -678,12 +678,7 @@ def _concat_group(parts, *, ncols_out, delivery_f32):
     return cat.astype(jnp.float32) if delivery_f32 else cat
 
 
-def _group_plan(items):
-    """Fetch-group composition for host delivery (shared by the real
-    fetch loop and the shape-only executable preload)."""
-    n_groups = min(4, max(1, len(items)))
-    per = -(-len(items) // n_groups)
-    return [items[i:i + per] for i in range(0, len(items), per)]
+from .device_grid import group_plan as _group_plan  # noqa: E402
 
 
 def precompute_face_data(grid, perm, diff_mag):

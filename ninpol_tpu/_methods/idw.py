@@ -91,29 +91,35 @@ class IDWInterpolation:
         nf_idx = variable_to_index["points"]["neumann_flag_" + variable]
         neumann_flag = points_data[nf_idx].astype(np.int64)
 
-        from .device_grid import deliver_weights
+        from .device_grid import deliver_weights, dispatch_with_preload
         target_points = np.asarray(target_points)
         active = ~(grid.boundary_points[target_points].astype(bool)
                    & (neumann_flag[target_points] == 0))
 
         mesh = getattr(dgrid, "mesh", None)
         balign = 256 if mesh is None else max(256, 128 * mesh.devices.size)
-        launched = []
-        for bucket in dgrid.buckets(target_points, active,
-                                    need_faces=False, chunk_size=131072,
-                                    batch_align=balign):
+        buckets = dgrid.buckets(target_points, active, need_faces=False,
+                                chunk_size=131072, batch_align=balign)
+
+        def run(bucket):
             args = (bucket["nodes"], bucket["valid"],
                     dgrid.esup2d, dgrid.esup_cnt,
                     dgrid.point_pack, dgrid.cell_pack)
             if mesh is None:
-                w = _idw_bucket_kernel(*args, E=bucket["E"], dim=grid.dim)
-            else:
-                w = sharded_simple_kernel(
-                    _idw_bucket_impl, mesh,
-                    (("E", bucket["E"]), ("dim", grid.dim)), 4)(*args)
-            # column padding to ncols_out happens inside the jitted
-            # delivery consolidation (device_grid.deliver_weights)
-            launched.append((bucket, w))
+                return _idw_bucket_kernel(*args, E=bucket["E"],
+                                          dim=grid.dim)
+            return sharded_simple_kernel(
+                _idw_bucket_impl, mesh,
+                (("E", bucket["E"]), ("dim", grid.dim)), 4)(*args)
+
+        # column padding to ncols_out happens inside the jitted
+        # delivery consolidation (device_grid.deliver_weights)
+        if mesh is None:
+            launched = dispatch_with_preload(
+                buckets, run, len(target_points), weights.shape[1],
+                device_out, self.delivery_f32)
+        else:
+            launched = [(b, run(b)) for b in buckets]
         return deliver_weights(launched, weights, neumann_ws,
                                len(target_points), device_out,
                                self.delivery_f32)
