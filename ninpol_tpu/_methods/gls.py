@@ -1050,18 +1050,18 @@ class GLSInterpolation:
                 rn_host = np.asarray(rndev)
                 bad_all = active & ~(rn_host <= self.fallback_tol)
             if bad_all.any():
+                # Re-solve ill-conditioned stragglers exactly (float64
+                # Householder); typically a handful.  Batch shapes are
+                # canonical powers of two capped at 2048 so the (huge)
+                # exact-path executables come from a small fixed set
+                # regardless of how many nodes fell back this run.
+                fbs = []
                 for bucket in all_buckets:
                     sel = bucket["valid"]
                     bpos = bucket["pos"]
                     bad = sel & (bpos >= 0) & bad_all[np.maximum(bpos, 0)]
                     if not bad.any():
                         continue
-                    # Re-solve ill-conditioned stragglers exactly
-                    # (float64 Householder); typically a handful.  Batch
-                    # shapes are canonical powers of two capped at 2048
-                    # so the (huge) exact-path executables come from a
-                    # small fixed set regardless of how many nodes
-                    # happened to fall back this run.
                     bad_nodes = bucket["nodes"][bad]
                     bad_pos = bucket["pos"][bad]
                     fb_cap = max(2048, balign)
@@ -1081,15 +1081,48 @@ class GLSInterpolation:
                         fb["nodes"][:nb] = bad_nodes[lo:lo + nb]
                         fb["valid"][:nb] = True
                         fb["pos"][:nb] = bad_pos[lo:lo + nb]
-                        w2, wn2, _ = run_bucket(fb, True)
-                        if device_out:
-                            wdev = scatter_bucket(fb, w2, wn2, wdev)
-                        else:
-                            host = np.asarray(pad_rows(fb, w2, wn2))[:nb]
-                            fpos = fb["pos"][:nb]
-                            weights[fpos, :] = host[:, :ncols_out]
-                            neumann_ws[fpos] = host[:, ncols_out]
-            if bad_all.any():
+                        fbs.append(fb)
+                # preload distinct exact executables concurrently, then
+                # dispatch all fallback chunks and deliver in grouped
+                # fetches (per-chunk fetches cost ~70 ms latency each)
+                pre = {}
+                if mesh is None and len(fbs) > 1:
+                    fb_first = {}
+                    for b in fbs:
+                        k = (b["E"], b["F"], len(b["pos"]),
+                             b["with_neumann"])
+                        fb_first.setdefault(k, b)
+                    if len(fb_first) > 1:
+                        from concurrent.futures import ThreadPoolExecutor
+                        with ThreadPoolExecutor(
+                                min(8, len(fb_first))) as ex:
+                            futs = {ex.submit(run_bucket, b, True): id(b)
+                                    for b in fb_first.values()}
+                            for f in futs:
+                                pre[futs[f]] = f.result()
+                fb_launched = []
+                for fb in fbs:
+                    res = pre.pop(id(fb), None)
+                    w2, wn2, _ = (res if res is not None
+                                  else run_bucket(fb, True))
+                    fb_launched.append((fb, w2, wn2))
+                if device_out:
+                    for fb, w2, wn2 in fb_launched:
+                        wdev = scatter_bucket(fb, w2, wn2, wdev)
+                else:
+                    for grp in _group_plan(fb_launched):
+                        host = np.asarray(_concat_group(
+                            tuple((w2, wn2) for _, w2, wn2 in grp),
+                            ncols_out=ncols_out, delivery_f32=False))
+                        lo = 0
+                        for fb, w2, _ in grp:
+                            nb = w2.shape[0]
+                            sel = fb["valid"]
+                            fpos = fb["pos"][sel]
+                            blk = host[lo:lo + nb][sel]
+                            weights[fpos, :] = blk[:, :ncols_out]
+                            neumann_ws[fpos] = blk[:, ncols_out]
+                            lo += nb
                 _mark("exact_fallback")
 
         if device_out:
