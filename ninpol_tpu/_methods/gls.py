@@ -645,24 +645,35 @@ def _pad_rows_j(w, wn, ncols_out):
         wn[:, None]], axis=1)
 
 
-@partial(jax.jit, static_argnames=("n_target",))
-def _consolidate_rnorm(rns, pos, tol, *, n_target):
+@partial(jax.jit, static_argnames=("tol", "n_target"))
+def _consolidate_rnorm(rns, pos_flat, *, tol, n_target):
     """Scatter per-bucket rnorm vectors into one (n_target,) array and
-    count unconverged nodes (NaN-safe: not provably converged counts)."""
+    count unconverged nodes (NaN-safe: not provably converged counts).
+    pos_flat is ALL buckets' positions in one array (one device upload
+    instead of one ~70 ms transfer per bucket); per-bucket slices are
+    static from the rn shapes.  tol is static: it bakes the comparison
+    constant into the program (callers pass a plain float)."""
     rndev = jnp.zeros((n_target,), jnp.float64)
-    for rn, p in zip(rns, pos):
-        rndev = rndev.at[p].set(rn, mode="drop")
+    off = 0
+    for rn in rns:
+        rndev = rndev.at[pos_flat[off:off + rn.shape[0]]].set(
+            rn, mode="drop")
+        off += rn.shape[0]
     return rndev, jnp.sum(~(rndev <= tol))
 
 
-@partial(jax.jit, static_argnames=("ncols_out", "n_target"))
-def _consolidate_device(parts, pos, rns, tol, *, ncols_out, n_target):
+@partial(jax.jit, static_argnames=("tol", "ncols_out", "n_target"))
+def _consolidate_device(parts, pos_flat, rns, *, tol, ncols_out,
+                        n_target):
     """device_out path: scatter all bucket rows into ONE consolidated
     (n_target, ncols_out + 1) float64 [weights | neumann] array, plus
     the rnorm consolidation — a single program per bucket plan."""
     rndev = jnp.zeros((n_target,), jnp.float64)
     wdev = jnp.zeros((n_target, ncols_out + 1), jnp.float64)
-    for (w, wn), rn, p in zip(parts, rns, pos):
+    off = 0
+    for (w, wn), rn in zip(parts, rns):
+        p = pos_flat[off:off + rn.shape[0]]
+        off += rn.shape[0]
         rndev = rndev.at[p].set(rn, mode="drop")
         wdev = wdev.at[p].set(_pad_rows_j(w, wn, ncols_out), mode="drop")
     return wdev, rndev, jnp.sum(~(rndev <= tol))
@@ -928,6 +939,8 @@ class GLSInterpolation:
         # consolidation programs are preloaded with same-shape
         # device-resident zero inputs (their junk results are dropped,
         # and jnp.zeros allocates on device — no host transfer).
+        tol_f = float(self.fallback_tol
+                      if self.fallback_tol is not None else 0.0)
         preloaded = {}
         if mesh is None and all_buckets:
             first_of = {}
@@ -941,19 +954,18 @@ class GLSInterpolation:
                 return tuple((zeros((len(b["pos"]), b["E"]), f64_),
                               zeros((len(b["pos"]),), f64_)) for b in bs)
 
-            def dummy_scatter_args(bs):
-                return (tuple(zeros((len(b["pos"]),), f64_) for b in bs),
-                        tuple(zeros((len(b["pos"]),), jnp.int64)
-                              for b in bs), np.float64(0.0))
-
             def preload_consolidate():
-                rns_d, pos_d, tol_d = dummy_scatter_args(all_buckets)
+                rns_d = tuple(zeros((len(b["pos"]),), f64_)
+                              for b in all_buckets)
+                pos_d = zeros((sum(len(b["pos"]) for b in all_buckets),),
+                              jnp.int64)
                 if device_out:
                     _consolidate_device(dummy_parts(all_buckets), pos_d,
-                                        rns_d, tol_d, ncols_out=ncols_out,
+                                        rns_d, tol=tol_f,
+                                        ncols_out=ncols_out,
                                         n_target=n_target)
                 else:
-                    _consolidate_rnorm(rns_d, pos_d, tol_d,
+                    _consolidate_rnorm(rns_d, pos_d, tol=tol_f,
                                        n_target=n_target)
 
             def preload_concat(grp):
@@ -983,22 +995,23 @@ class GLSInterpolation:
         _mark("dispatch")
 
         # all padding positions route out of bounds and drop (negative
-        # indices would WRAP in jnp)
-        pos_dev = tuple(jnp.asarray(np.where(b["pos"] >= 0, b["pos"],
-                                             n_target))
-                        for b, _, _, _ in launched)
+        # indices would WRAP in jnp); ONE consolidated device upload for
+        # every bucket's positions (each small transfer costs ~70 ms of
+        # relay latency)
+        pos_flat = jnp.asarray(np.concatenate(
+            [np.where(b["pos"] >= 0, b["pos"], n_target)
+             for b, _, _, _ in launched])
+            if launched else np.zeros(0, np.int64))
         rns = tuple(r for _, _, _, r in launched)
-        tol = np.float64(self.fallback_tol
-                         if self.fallback_tol is not None else 0.0)
         if device_out:
             wdev, rndev, n_bad_dev = _consolidate_device(
                 tuple((w, wn) for _, w, wn, _ in launched),
-                pos_dev, rns, tol, ncols_out=ncols_out,
+                pos_flat, rns, tol=tol_f, ncols_out=ncols_out,
                 n_target=n_target)
             _mark("consolidate")
         else:
             rndev, n_bad_dev = _consolidate_rnorm(
-                rns, pos_dev, tol, n_target=n_target)
+                rns, pos_flat, tol=tol_f, n_target=n_target)
             # Host delivery: group chunk outputs into a few compact
             # device concats and fetch them SEQUENTIALLY — this relay
             # serializes transfers (concurrent fetches stall), but a
