@@ -260,12 +260,17 @@ def _pad_cols_j(w, ncols_out, extra=0):
 
 
 @_partial(jax.jit, static_argnames=("n_target", "ncols_out"))
-def _deliver_device_j(rows_list, pos_list, *, n_target, ncols_out):
+def _deliver_device_j(rows_list, pos_flat, *, n_target, ncols_out):
     """One program: pad + scatter all bucket rows into the consolidated
     [weights | 0] array (eager per-bucket pad/concat/scatter ops each
-    cost ~10 s of executable load through this environment's helper)."""
+    cost ~10 s of executable load through this environment's helper).
+    pos_flat carries ALL buckets' positions in one array (one upload,
+    not one ~70 ms transfer per bucket); slices are static."""
     wdev = jnp.zeros((n_target, ncols_out + 1), jnp.float64)
-    for w, pos in zip(rows_list, pos_list):
+    off = 0
+    for w in rows_list:
+        pos = pos_flat[off:off + w.shape[0]]
+        off += w.shape[0]
         wdev = wdev.at[pos].set(_pad_cols_j(w, ncols_out, extra=1),
                                 mode="drop")
     return wdev
@@ -308,8 +313,8 @@ def dispatch_with_preload(buckets, run, n_target, ncols_out, device_out,
 
         def preload_delivery():
             if device_out:
-                pos = tuple(jnp.zeros((len(b["pos"]),), jnp.int64)
-                            for b in buckets)
+                pos = jnp.zeros((sum(len(b["pos"]) for b in buckets),),
+                                jnp.int64)
                 _deliver_device_j(dummy_rows(buckets), pos,
                                   n_target=n_target, ncols_out=ncols_out)
             else:
@@ -348,11 +353,11 @@ def deliver_weights(launched, weights, neumann_ws, n_target, device_out,
     if device_out:
         if not launched:
             return jnp.zeros((n_target, ncols_out + 1), jnp.float64)
-        pos_list = tuple(jnp.asarray(np.where(b["pos"] >= 0,
-                                              b["pos"], n_target))
-                         for b, _ in launched)
+        pos_flat = jnp.asarray(np.concatenate(
+            [np.where(b["pos"] >= 0, b["pos"], n_target)
+             for b, _ in launched]))
         return _deliver_device_j(tuple(w for _, w in launched),
-                                 pos_list, n_target=n_target,
+                                 pos_flat, n_target=n_target,
                                  ncols_out=ncols_out)
     if not launched:
         return weights, neumann_ws
