@@ -102,6 +102,7 @@ class DeviceGrid:
         self.nrm_h, self.nrm_l = put_pair(grid.normal_faces)
         self.fcc_h, self.fcc_l = put_pair(grid.faces_centers)
         self._f64_cache = {}
+        self._plan_cache = {}
         # PACKED gather tables: XLA TPU gathers cost ~8 cycles PER ROW
         # regardless of width (measured: 17 narrow stencil gathers ≈ the
         # entire fused solve kernel), so per-point/per-cell/per-face data
@@ -169,8 +170,25 @@ class DeviceGrid:
         shape; tails pad to the next power of two.
         """
         target_points = np.asarray(target_points)
+        # Content-keyed plan cache: repeat prepares over the same target
+        # set (bench repeats; different variables on one mesh) reuse the
+        # plan AND its device-resident nodes/valid arrays — zero
+        # host->device uploads on a hit (each transfer costs ~70 ms of
+        # relay latency here).  NOTE: callers may stamp extra metadata
+        # (e.g. with_neumann) onto the returned dicts; for identical
+        # inputs those stamps are identical, so sharing is safe.
+        import hashlib
+        ck = (hashlib.sha1(target_points.tobytes()).hexdigest(),
+              hashlib.sha1(np.ascontiguousarray(
+                  active_mask).tobytes()).hexdigest(),
+              need_faces, max_buckets, min_bucket, batch_align,
+              chunk_size, chunk_elems)
+        hit = self._plan_cache.get(ck)
+        if hit is not None:
+            return hit
         pos_all = np.nonzero(active_mask)[0]
         if len(pos_all) == 0:
+            self._plan_cache[ck] = []
             return []
         nodes_all = target_points[pos_all]
         ne = self.esup_cnt_h[nodes_all].astype(np.int64)
@@ -245,6 +263,14 @@ class DeviceGrid:
                 out.append({"pos": pos, "nodes": nodes, "E": E, "F": F,
                             "valid": pos >= 0})
                 lo += take
+        if self.mesh is None:
+            # device-resident kernel inputs ride the cached plan
+            for b in out:
+                b["nodes_d"] = jnp.asarray(b["nodes"])
+                b["valid_d"] = jnp.asarray(b["valid"])
+        if len(self._plan_cache) >= 8:
+            self._plan_cache.pop(next(iter(self._plan_cache)))
+        self._plan_cache[ck] = out
         return out
 
 

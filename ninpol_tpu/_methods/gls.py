@@ -872,7 +872,8 @@ class GLSInterpolation:
 
         def run_bucket(bucket, exact):
             args = (
-                bucket["nodes"], bucket["valid"],
+                bucket.get("nodes_d", bucket["nodes"]),
+                bucket.get("valid_d", bucket["valid"]),
                 dgrid.esup2d, dgrid.esup_cnt, dgrid.fsup2d, dgrid.fsup_cnt,
                 dgrid.point_pack, dgrid.cell_pack,
                 *face_dev)

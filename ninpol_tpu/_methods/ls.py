@@ -123,7 +123,8 @@ class LSInterpolation:
                                 chunk_size=131072, batch_align=balign)
 
         def run(bucket):
-            args = (bucket["nodes"], bucket["valid"],
+            args = (bucket.get("nodes_d", bucket["nodes"]),
+                    bucket.get("valid_d", bucket["valid"]),
                     dgrid.esup2d, dgrid.esup_cnt,
                     dgrid.point_pack, dgrid.cell_pack)
             if mesh is None:
