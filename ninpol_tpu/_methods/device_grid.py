@@ -188,6 +188,8 @@ class DeviceGrid:
             return hit
         pos_all = np.nonzero(active_mask)[0]
         if len(pos_all) == 0:
+            if len(self._plan_cache) >= 8:
+                self._plan_cache.pop(next(iter(self._plan_cache)))
             self._plan_cache[ck] = []
             return []
         nodes_all = target_points[pos_all]
@@ -312,9 +314,36 @@ def _deliver_concat_j(rows_list, *, delivery_f32, ncols_out):
 def group_plan(items):
     """Fetch-group composition for host delivery (shared by the real
     fetch loops and the shape-only executable preloads)."""
-    n_groups = min(4, max(1, len(items)))
+    if not items:
+        return []
+    n_groups = min(4, len(items))
     per = -(-len(items) // n_groups)
     return [items[i:i + per] for i in range(0, len(items), per)]
+
+
+def fetch_groups_overlapped(cats, groups, write_group):
+    """Fetch group k+1's device->host transfer on a helper thread (the
+    relay fetch is IO-bound and releases the GIL) while the main thread
+    runs ``write_group(groups[k], host_k)`` — the host row scatter would
+    otherwise serialize after the last fetch.  Exactly one fetch is in
+    flight at a time (concurrent fetches stall on this relay)."""
+    if not groups:
+        return
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=1) as tpe:
+        fut = tpe.submit(np.asarray, cats[0])
+        for gi, grp in enumerate(groups):
+            host = fut.result()
+            if gi + 1 < len(groups):
+                fut = tpe.submit(np.asarray, cats[gi + 1])
+            write_group(grp, host)
+
+
+# Shape signatures whose executables were already pulled through the
+# remote helper this process — the dummy preload executions are pure
+# load-warming, so repeat prepares skip them (they cost a dropped
+# full-size consolidation execution plus transient result-scale HBM).
+_preloaded_sigs = set()
 
 
 def dispatch_with_preload(buckets, run, n_target, ncols_out, device_out,
@@ -326,12 +355,17 @@ def dispatch_with_preload(buckets, run, n_target, ncols_out, device_out,
     across threads.  The solve programs preload by RUNNING the first
     bucket of each (E, B) class (results kept — no work runs twice);
     the delivery consolidation preloads with same-shape device-resident
-    zero inputs (junk results dropped; jnp.zeros allocates on device)."""
+    zero inputs (junk results dropped; jnp.zeros allocates on device),
+    once per shape signature per process."""
     preloaded = {}
     if buckets:
         first_of = {}
         for b in buckets:
             first_of.setdefault((b["E"], len(b["pos"])), b)
+        # program identity depends on the FULL bucket shape sequence
+        # (group composition), not just the distinct classes
+        sig = ("deliver", tuple((b["E"], len(b["pos"])) for b in buckets),
+               n_target, ncols_out, device_out, bool(delivery_f32))
 
         def dummy_rows(bs):
             return tuple(jnp.zeros((len(b["pos"]), b["E"]), jnp.float64)
@@ -352,10 +386,14 @@ def dispatch_with_preload(buckets, run, n_target, ncols_out, device_out,
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(min(8, len(first_of) + 1)) as ex:
             futs = {ex.submit(run, b): id(b) for b in first_of.values()}
-            job = ex.submit(preload_delivery)
+            job = None
+            if sig not in _preloaded_sigs:
+                _preloaded_sigs.add(sig)
+                job = ex.submit(preload_delivery)
             for f in futs:
                 preloaded[futs[f]] = f.result()
-            job.result()
+            if job is not None:
+                job.result()
     out = []
     for b in buckets:
         w = preloaded.pop(id(b), None)
@@ -395,18 +433,15 @@ def deliver_weights(launched, weights, neumann_ws, n_target, device_out,
     cats = [_deliver_concat_j(tuple(w for _, w in grp),
                               delivery_f32=bool(delivery_f32),
                               ncols_out=ncols_out) for grp in groups]
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=1) as tpe:
-        fut = tpe.submit(np.asarray, cats[0])
-        for gi, grp in enumerate(groups):
-            host = fut.result()
-            if gi + 1 < len(groups):
-                fut = tpe.submit(np.asarray, cats[gi + 1])
-            lo = 0
-            for bucket, w in grp:
-                nb = w.shape[0]
-                sel = bucket["valid"]
-                pos = bucket["pos"][sel]
-                weights[pos, :] = host[lo:lo + nb][sel]
-                lo += nb
+
+    def write_group(grp, host):
+        lo = 0
+        for bucket, w in grp:
+            nb = w.shape[0]
+            sel = bucket["valid"]
+            pos = bucket["pos"][sel]
+            weights[pos, :] = host[lo:lo + nb][sel]
+            lo += nb
+
+    fetch_groups_overlapped(cats, groups, write_group)
     return weights, neumann_ws

@@ -181,3 +181,21 @@ def test_fallback_storm_routes_all_nodes_to_exact():
     wd = np.asarray(wdev)
     assert np.abs(wd[:, :We.shape[1]] - We).max() == 0.0
     assert np.abs(wd[:, -1] - NWe).max() == 0.0
+
+
+def test_all_dirichlet_subset_returns_zero_rows():
+    """A target subset consisting only of Dirichlet boundary nodes has
+    no active node in either GLS bucket mask — the delivery paths must
+    return the zero-filled buffers instead of tripping on an empty
+    bucket plan (regression: _group_plan([]) raised ValueError)."""
+    case, interp = setup_case("hexa", 3)
+    f = get_fields(interp, case.name)
+    dirichlet = np.where(interp.grid.boundary_points.astype(bool)
+                         & (f["nflag"] == 0))[0][:8]
+    assert len(dirichlet) > 0
+    for method in ("gls", "idw", "ls"):
+        W, NW = interp.prepare_interpolator(method, case.name, dirichlet)
+        assert np.abs(W).max() == 0.0 and np.abs(NW).max() == 0.0
+        wd = np.asarray(interp.prepare_interpolator(
+            method, case.name, dirichlet, device_out=True))
+        assert np.abs(wd).max() == 0.0
