@@ -178,9 +178,11 @@ def log2(x):
     # unlike jnp.frexp — it lowers inside Pallas/Mosaic kernels, where
     # the GLS tau computation now runs.
     bits = lax.bitcast_convert_type(xh, jnp.int32)
-    ex = ((bits >> 23) & 0xFF) - 126
-    mant = lax.bitcast_convert_type((bits & 0x7FFFFF) | 0x3F000000,
-                                    jnp.float32)  # mant in [0.5, 1)
+    # (i32 literal pinning: see exp2)
+    ex = (((bits >> jnp.int32(23)) & jnp.int32(0xFF)) - jnp.int32(126))
+    mant = lax.bitcast_convert_type(
+        (bits & jnp.int32(0x7FFFFF)) | jnp.int32(0x3F000000),
+        jnp.float32)  # mant in [0.5, 1)
     up = mant < _SQRT_HALF
     mant = jnp.where(up, mant * 2, mant)
     ex = (ex - up.astype(ex.dtype)).astype(xh.dtype)
@@ -224,9 +226,13 @@ def exp2(x):
     # clamp the result degrades gracefully to ~2^±126-ish magnitudes
     # instead of garbage (powd's documented domain is |x| < ~120).
     import jax.lax as lax
-    ki = jnp.clip(k.astype(jnp.int32), -126, 127)
+    # int literals pinned to i32: under x64 a bare python int traces as
+    # a weak i64 constant, and the i64->i32 convert it forces falls into
+    # infinite _convert_helper recursion at Mosaic lowering time
+    ki = jnp.clip(k.astype(jnp.int32), jnp.int32(-126), jnp.int32(127))
     p2k = lax.bitcast_convert_type(
-        ((ki + 127) << 23).astype(jnp.int32), jnp.float32)
+        ((ki + jnp.int32(127)) << jnp.int32(23)).astype(jnp.int32),
+        jnp.float32)
     return scale(acc, p2k)
 
 

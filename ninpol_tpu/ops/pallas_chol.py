@@ -258,8 +258,12 @@ def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
     active = valid & ~(n_bface >= n_face)            # gls.pyx:266
     af0 = active.astype(_F32)[None, :]               # (1, NT)
 
-    k1c = jnp.where(interior, k1, 0)
-    k2c = jnp.where(interior, k2, 0)
+    # int literals MUST be pinned to i32: under x64 a bare python int
+    # traces as a weak i64 constant, and Mosaic's i64->i32 convert
+    # falls into infinite _convert_helper recursion at lowering
+    zi = jnp.int32(0)
+    k1c = jnp.where(interior, k1, zi)
+    k2c = jnp.where(interior, k2, zi)
     S1 = ((ks0[None, :, :] == k1c[:, None, :]) & interior[:, None, :]
           & cvb[None, :, :]).astype(_F32)            # (F, E, NT)
     S2 = ((ks0[None, :, :] == k2c[:, None, :]) & interior[:, None, :]
@@ -300,7 +304,7 @@ def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
     if with_neumann:
         bmask = bnd & isneu[None, :]
         bm32 = bmask.astype(_F32)
-        owner = jnp.where(bmask, k1, 0)
+        owner = jnp.where(bmask, k1, jnp.int32(0))
         Sb = ((ks0[None, :, :] == owner[:, None, :]) & bmask[:, None, :]
               & cvb[None, :, :]).astype(_F32)
         # nLb == nL1 bit-exactly (both are perm[first_cell] @ N)
