@@ -110,8 +110,12 @@ def tree_sum(x, axis):
     if p != n:
         pad = [(0, 0)] * xh.ndim
         pad[axis] = (0, p - n)
-        xh = jnp.pad(xh, pad)
-        xl = jnp.pad(xl, pad)
+        # explicit f32 pad value: the default python-int 0 traces as a
+        # weak i64 constant under x64, and Mosaic's i64->f32 convert
+        # helper recurses forever (same class as pallas_chol 68547bf)
+        zero = xh.dtype.type(0)
+        xh = jnp.pad(xh, pad, constant_values=zero)
+        xl = jnp.pad(xl, pad, constant_values=zero)
     while xh.shape[axis] > 1:
         h = xh.shape[axis] // 2
         a = (lax.slice_in_dim(xh, 0, h, axis=axis),
