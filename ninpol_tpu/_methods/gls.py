@@ -757,6 +757,21 @@ class GLSInterpolation:
         # so 16k-node chunks fit easily and amortize the per-op dispatch
         # overheads of the XLA prologue; the float64 exact path keeps the
         # old tighter budget (emulation inflates bytes/element heavily).
+        #
+        # DO NOT raise this past 4.6e8: it caps the (E=24,F=36) tetra
+        # class at B=16384, and the (24,36,B=32768) fused kernel
+        # MISCOMPILES on this toolchain — every node of every full 32k
+        # chunk comes back with clamped pivots (dmax sick flag, rnorm
+        # pinned to 1.0) and garbage weights, while the same nodes at
+        # B<=16384 are bit-healthy, and the SMALLER (8,12,32768) hexa
+        # tiles are also healthy (tools/chunk32_debug.py reproduces in
+        # ~3 min from warm caches).  Raising the budget to 1.2e9 was
+        # tried (launch-latency motivation: ~30 ms/dispatch x 20
+        # interior dispatches at 16k vs 10 at 32k, see
+        # tools/bucket_attrib_probe.py) and reverted; the safe route to
+        # fewer dispatches is fusing several 16k chunk bodies into one
+        # jitted program (lax.scan over stacked chunks), not bigger
+        # Pallas grids.
         self.chunk_elems = int(4.6e8)
         self.chunk_elems_exact = int(1.45e8)
         # device-side caches (per grid+variable): face flux vectors and
