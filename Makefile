@@ -12,8 +12,12 @@ native:
 	g++ -O3 -march=native -ffp-contract=off -shared -fPIC -std=c++17 \
 	    ninpol_tpu/native/topology.cpp -o ninpol_tpu/native/_ninpol_topology.so
 
+# PYTHONPATH= skips this environment's sitecustomize (which imports
+# jax with the axon TPU plugin at interpreter start): without it the
+# CPU suite pays a ~95 s init penalty AND the persistent CPU compile
+# cache is silently never written (cold 36-min suites forever).
 test:
-	$(PY) -m pytest tests/ -q
+	env PYTHONPATH= JAX_PLATFORMS=cpu $(PY) -m pytest tests/ -q
 
 bench:
 	$(PY) bench.py

@@ -265,15 +265,23 @@ class DeviceGrid:
                 out.append({"pos": pos, "nodes": nodes, "E": E, "F": F,
                             "valid": pos >= 0})
                 lo += take
-        if self.mesh is None:
-            # device-resident kernel inputs ride the cached plan
-            for b in out:
-                b["nodes_d"] = jnp.asarray(b["nodes"])
-                b["valid_d"] = jnp.asarray(b["valid"])
         if len(self._plan_cache) >= 8:
             self._plan_cache.pop(next(iter(self._plan_cache)))
         self._plan_cache[ck] = out
         return out
+
+
+def bucket_dev(b):
+    """Device-resident (nodes, valid) for a bucket, created lazily and
+    cached on the bucket dict (which rides the content-keyed plan cache,
+    so repeat prepares re-use the device arrays — each host->device
+    transfer costs ~70 ms of relay latency here).  Lazy because
+    scan-stacked chunk groups (methods/gls.py) consume their own stacked
+    uploads and never touch the per-chunk arrays."""
+    if "nodes_d" not in b:
+        b["nodes_d"] = jnp.asarray(b["nodes"])
+        b["valid_d"] = jnp.asarray(b["valid"])
+    return b["nodes_d"], b["valid_d"]
 
 
 from functools import partial as _partial

@@ -600,6 +600,77 @@ _gls_bucket_kernel = partial(
                               "neumann_compat", "with_neumann",
                               "solver", "fused", "rounds"))(_gls_bucket_impl)
 
+
+# Scan-stacked entry: S identical-shape chunks of one bucket class run
+# as ONE program (lax.scan over the stacked chunk axis).  Through this
+# environment's remote helper every separate dispatch leaves the device
+# idle ~30 ms (tools/bucket_attrib_probe.py) — ~20 interior chunks at
+# 1.9M tets is ~0.6 s of pure gap; inside the scan the chunk bodies run
+# back-to-back with no host round-trips.  This is the safe alternative
+# to bigger Pallas grids: the (E=24,F=36,B=32768) fused kernel
+# MISCOMPILES (see chunk_elems below), while scan keeps B=16384 per
+# iteration and only changes the XLA control flow AROUND the kernel.
+@partial(jax.jit, static_argnames=("E", "F", "n_refine", "exact",
+                                   "neumann_compat", "with_neumann",
+                                   "solver", "fused", "rounds"))
+def _gls_bucket_scan(nodes_s, valid_s, esup2d, esup_cnt, fsup2d, fsup_cnt,
+                     point_pack, cell_pack, face_pack, neumann_flag,
+                     **statics):
+    def body(c, nv):
+        nodes, valid = nv
+        return c, _gls_bucket_impl(
+            nodes, valid, esup2d, esup_cnt, fsup2d, fsup_cnt,
+            point_pack, cell_pack, face_pack, neumann_flag, **statics)
+
+    _, (w, wn, rn) = jax.lax.scan(body, 0, (nodes_s, valid_s))
+    S, B = nodes_s.shape
+    # flattened (S*B, ...) outputs: downstream consolidation treats the
+    # whole stack as one bucket covering the concatenated positions
+    return w.reshape(S * B, w.shape[2]), wn.reshape(S * B), rn.reshape(S * B)
+
+
+# Stack sizes snap to this ladder (largest first) so scan programs come
+# from a small fixed set of shapes — every distinct program costs ~10 s
+# of executable load through the remote helper even fully cached, and
+# minutes to compile fresh.
+_SCAN_LADDER = (16, 8, 4, 2)
+
+
+def _build_scan_units(all_buckets):
+    """Group identical-shape chunks into scan stacks.  Returns a list of
+    ("scan", megabucket) / ("single", bucket) units.  Megabuckets carry
+    concatenated host pos/valid (for delivery + fallback masks) and the
+    stacked device inputs, cached on the first member's dict so repeat
+    prepares over the same cached plan re-use the uploads."""
+    from collections import defaultdict
+    by_cls = defaultdict(list)
+    for b in all_buckets:
+        by_cls[(b["E"], b["F"], len(b["pos"]),
+                b["with_neumann"])].append(b)
+    units = []
+    for (E, F, B, wneu), bs in by_cls.items():
+        i = 0
+        while len(bs) - i >= _SCAN_LADDER[-1]:
+            S = next(s for s in _SCAN_LADDER if s <= len(bs) - i)
+            grp = bs[i:i + S]
+            mb = grp[0].get("_scan_unit")
+            if mb is None or mb["S"] != S:
+                mb = {
+                    "pos": np.concatenate([b["pos"] for b in grp]),
+                    "valid": np.concatenate([b["valid"] for b in grp]),
+                    "E": E, "F": F, "S": S,
+                    "nodes_sd": jnp.asarray(
+                        np.stack([b["nodes"] for b in grp])),
+                    "valid_sd": jnp.asarray(
+                        np.stack([b["valid"] for b in grp])),
+                }
+                grp[0]["_scan_unit"] = mb
+            mb["with_neumann"] = wneu
+            units.append(("scan", mb))
+            i += S
+        units.extend(("single", b) for b in bs[i:])
+    return units
+
 # Multi-chip entry: the SAME kernel body under jax.shard_map — the node
 # batch is sharded over the mesh's "nodes" axis, all grid/face arrays
 # are replicated (per-node weights are node-local, SURVEY §2.3: stencil
@@ -774,6 +845,10 @@ class GLSInterpolation:
         # Pallas grids.
         self.chunk_elems = int(4.6e8)
         self.chunk_elems_exact = int(1.45e8)
+        # nodes per chunk before the element budget caps it (exposed as
+        # an attribute so tests/probes can shrink it to exercise the
+        # scan-stacked multi-chunk path on tiny meshes)
+        self.chunk_nodes = 32768
         # device-side caches (per grid+variable): face flux vectors and
         # point flags — re-uploading them every prepare() costs seconds
         # through this environment's ~50 MB/s host<->device relay.
@@ -890,10 +965,13 @@ class GLSInterpolation:
 
         mesh = getattr(dgrid, "mesh", None)
 
+        from .device_grid import bucket_dev
+
         def run_bucket(bucket, exact):
+            nv = (bucket_dev(bucket) if mesh is None
+                  else (bucket["nodes"], bucket["valid"]))
             args = (
-                bucket.get("nodes_d", bucket["nodes"]),
-                bucket.get("valid_d", bucket["valid"]),
+                *nv,
                 dgrid.esup2d, dgrid.esup_cnt, dgrid.fsup2d, dgrid.fsup_cnt,
                 dgrid.point_pack, dgrid.cell_pack,
                 *face_dev)
@@ -908,6 +986,28 @@ class GLSInterpolation:
             return _gls_bucket_sharded(
                 mesh, tuple(sorted(statics.items())))(*args)
 
+        def run_unit(unit, exact):
+            kind, payload = unit
+            if kind == "single":
+                return run_bucket(payload, exact)
+            mb = payload
+            return _gls_bucket_scan(
+                mb["nodes_sd"], mb["valid_sd"],
+                dgrid.esup2d, dgrid.esup_cnt, dgrid.fsup2d,
+                dgrid.fsup_cnt, dgrid.point_pack, dgrid.cell_pack,
+                *face_dev,
+                E=mb["E"], F=mb["F"], n_refine=self.n_refine,
+                exact=exact, neumann_compat=self.neumann_compat,
+                with_neumann=mb["with_neumann"], solver=solver,
+                fused=fused_ok and not exact,
+                rounds=self.precond_rounds)
+
+        def unit_sig(unit):
+            kind, p = unit
+            S = p.get("S", 1)
+            return (kind, p["E"], p["F"], S, len(p["pos"]) // S,
+                    p["with_neumann"])
+
         # Interior nodes skip the Neumann row block entirely (a static
         # kernel variant with ~45% fewer matrix rows), so bucket the
         # Neumann-boundary nodes separately.
@@ -917,7 +1017,7 @@ class GLSInterpolation:
         # fused-path chunks: 32k nodes/dispatch (VMEM use is per 128-node
         # tile, so larger chunks only add HBM-resident tiles; fewer
         # dispatches amortize the ~70 ms round-trip latencies)
-        chunk_size = 8192 if self.exact else 32768
+        chunk_size = 8192 if self.exact else self.chunk_nodes
         balign = 256 if mesh is None else max(256, 128 * mesh.devices.size)
         all_buckets = []
         for mask, wneu in ((active & ~is_neu_t, False),
@@ -928,6 +1028,13 @@ class GLSInterpolation:
                                         batch_align=balign):
                 bucket["with_neumann"] = wneu
                 all_buckets.append(bucket)
+        # scan chunk-stacking: identical-shape chunks fuse into one
+        # program each (exact mode keeps singles — its huge f64
+        # Householder programs are rare and compile-heavy already)
+        if mesh is None and not self.exact:
+            units = _build_scan_units(all_buckets)
+        else:
+            units = [("single", b) for b in all_buckets]
         _mark("bucket_plan")
 
         # Dispatch all chunks asynchronously (JAX queues them), then
@@ -963,29 +1070,29 @@ class GLSInterpolation:
         tol_f = float(self.fallback_tol
                       if self.fallback_tol is not None else 0.0)
         preloaded = {}
-        if mesh is None and all_buckets:
+        payloads = [u[1] for u in units]
+        if mesh is None and units:
             first_of = {}
-            for b in all_buckets:
-                k = (b["E"], b["F"], len(b["pos"]), b["with_neumann"])
-                first_of.setdefault(k, b)
+            for u in units:
+                first_of.setdefault(unit_sig(u), u)
             sig = ("gls",
-                   tuple((b["E"], len(b["pos"])) for b in all_buckets),
+                   tuple((p["E"], len(p["pos"])) for p in payloads),
                    n_target, ncols_out, device_out, tol_f,
                    bool(self.delivery_f32))
             f64_ = jnp.float64
             zeros = jnp.zeros
 
-            def dummy_parts(bs):
-                return tuple((zeros((len(b["pos"]), b["E"]), f64_),
-                              zeros((len(b["pos"]),), f64_)) for b in bs)
+            def dummy_parts(ps):
+                return tuple((zeros((len(p["pos"]), p["E"]), f64_),
+                              zeros((len(p["pos"]),), f64_)) for p in ps)
 
             def preload_consolidate():
-                rns_d = tuple(zeros((len(b["pos"]),), f64_)
-                              for b in all_buckets)
-                pos_d = zeros((sum(len(b["pos"]) for b in all_buckets),),
+                rns_d = tuple(zeros((len(p["pos"]),), f64_)
+                              for p in payloads)
+                pos_d = zeros((sum(len(p["pos"]) for p in payloads),),
                               jnp.int64)
                 if device_out:
-                    _consolidate_device(dummy_parts(all_buckets), pos_d,
+                    _consolidate_device(dummy_parts(payloads), pos_d,
                                         rns_d, tol=tol_f,
                                         ncols_out=ncols_out,
                                         n_target=n_target)
@@ -999,15 +1106,15 @@ class GLSInterpolation:
 
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(min(8, len(first_of) + 5)) as ex:
-                futs = {ex.submit(run_bucket, b, self.exact): id(b)
-                        for b in first_of.values()}
+                futs = {ex.submit(run_unit, u, self.exact): id(u[1])
+                        for u in first_of.values()}
                 cjobs = []
                 if sig not in _preloaded_sigs:
                     _preloaded_sigs.add(sig)
                     cjobs = [ex.submit(preload_consolidate)]
                     if not device_out:
                         cjobs += [ex.submit(preload_concat, grp)
-                                  for grp in _group_plan(all_buckets)]
+                                  for grp in _group_plan(payloads)]
                 for f in futs:
                     preloaded[futs[f]] = f.result()
                 for c in cjobs:
@@ -1015,11 +1122,11 @@ class GLSInterpolation:
         _mark("preload")
 
         launched = []
-        for bucket in all_buckets:
-            res = preloaded.pop(id(bucket), None)
+        for unit in units:
+            res = preloaded.pop(id(unit[1]), None)
             w, wn, rnorm = (res if res is not None
-                            else run_bucket(bucket, self.exact))
-            launched.append((bucket, w, wn, rnorm))
+                            else run_unit(unit, self.exact))
+            launched.append((unit[1], w, wn, rnorm))
         _mark("dispatch")
 
         # all padding positions route out of bounds and drop (negative

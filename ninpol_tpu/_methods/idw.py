@@ -91,7 +91,8 @@ class IDWInterpolation:
         nf_idx = variable_to_index["points"]["neumann_flag_" + variable]
         neumann_flag = points_data[nf_idx].astype(np.int64)
 
-        from .device_grid import deliver_weights, dispatch_with_preload
+        from .device_grid import (bucket_dev, deliver_weights,
+                                  dispatch_with_preload)
         target_points = np.asarray(target_points)
         active = ~(grid.boundary_points[target_points].astype(bool)
                    & (neumann_flag[target_points] == 0))
@@ -102,8 +103,9 @@ class IDWInterpolation:
                                 chunk_size=131072, batch_align=balign)
 
         def run(bucket):
-            args = (bucket.get("nodes_d", bucket["nodes"]),
-                    bucket.get("valid_d", bucket["valid"]),
+            nv = (bucket_dev(bucket) if mesh is None
+                  else (bucket["nodes"], bucket["valid"]))
+            args = (*nv,
                     dgrid.esup2d, dgrid.esup_cnt,
                     dgrid.point_pack, dgrid.cell_pack)
             if mesh is None:

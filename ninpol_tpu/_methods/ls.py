@@ -108,7 +108,8 @@ class LSInterpolation:
     def prepare(self, dgrid, cells_data, points_data, faces_data,
                 variable_to_index, variable, target_points,
                 weights, neumann_ws, device_out=False):
-        from .device_grid import deliver_weights, dispatch_with_preload
+        from .device_grid import (bucket_dev, deliver_weights,
+                                  dispatch_with_preload)
         grid = dgrid.grid
         nf_idx = variable_to_index["points"]["neumann_flag_" + variable]
         neumann_flag = points_data[nf_idx].astype(np.int64)
@@ -123,8 +124,9 @@ class LSInterpolation:
                                 chunk_size=131072, batch_align=balign)
 
         def run(bucket):
-            args = (bucket.get("nodes_d", bucket["nodes"]),
-                    bucket.get("valid_d", bucket["valid"]),
+            nv = (bucket_dev(bucket) if mesh is None
+                  else (bucket["nodes"], bucket["valid"]))
+            args = (*nv,
                     dgrid.esup2d, dgrid.esup_cnt,
                     dgrid.point_pack, dgrid.cell_pack)
             if mesh is None:

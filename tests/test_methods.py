@@ -199,3 +199,35 @@ def test_all_dirichlet_subset_returns_zero_rows():
         wd = np.asarray(interp.prepare_interpolator(
             method, case.name, dirichlet, device_out=True))
         assert np.abs(wd).max() == 0.0
+
+
+def test_scan_stacked_chunks_bit_equal():
+    """Identical-shape chunks fused into one lax.scan program
+    (gls._build_scan_units) must give bit-identical weights to the
+    per-chunk dispatch path, and must actually trigger on a
+    multi-chunk plan."""
+    from ninpol_tpu._methods import gls as gls_mod
+
+    case, interp = setup_case("hexa", 10)   # 1331 points
+    tp = np.arange(interp.grid.n_points)
+    W0, N0 = interp.prepare_interpolator("gls", case.name, tp)
+
+    seen = []
+    orig = gls_mod._build_scan_units
+
+    def spy(buckets):
+        units = orig(buckets)
+        seen.extend(k for k, _ in units)
+        return units
+
+    gls_mod._build_scan_units = spy
+    try:
+        interp.gls.chunk_nodes = 256    # force many identical chunks
+        interp._prep_cache.clear()
+        W1, N1 = interp.prepare_interpolator("gls", case.name, tp)
+    finally:
+        gls_mod._build_scan_units = orig
+        interp.gls.chunk_nodes = 32768
+    assert "scan" in seen
+    np.testing.assert_array_equal(W0, W1)
+    np.testing.assert_array_equal(N0, N1)
