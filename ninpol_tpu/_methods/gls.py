@@ -1030,8 +1030,11 @@ class GLSInterpolation:
                 all_buckets.append(bucket)
         # scan chunk-stacking: identical-shape chunks fuse into one
         # program each (exact mode keeps singles — its huge f64
-        # Householder programs are rare and compile-heavy already)
-        if mesh is None and not self.exact:
+        # Householder programs are rare and compile-heavy already).
+        # NINPOL_TPU_NO_SCAN=1 falls back to per-chunk dispatch (kill
+        # switch for hardware-lowering regressions in scan-over-Pallas).
+        if (mesh is None and not self.exact
+                and _os.environ.get("NINPOL_TPU_NO_SCAN") != "1"):
             units = _build_scan_units(all_buckets)
         else:
             units = [("single", b) for b in all_buckets]

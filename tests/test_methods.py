@@ -231,3 +231,35 @@ def test_scan_stacked_chunks_bit_equal():
     assert "scan" in seen
     np.testing.assert_array_equal(W0, W1)
     np.testing.assert_array_equal(N0, N1)
+
+
+def test_scan_kill_switch(monkeypatch):
+    """NINPOL_TPU_NO_SCAN=1 must force per-chunk dispatch (hardware
+    fallback knob for scan-over-Pallas lowering regressions) and still
+    produce identical weights."""
+    from ninpol_tpu._methods import gls as gls_mod
+
+    case, interp = setup_case("hexa", 10)
+    tp = np.arange(interp.grid.n_points)
+    W0, N0 = interp.prepare_interpolator("gls", case.name, tp)
+
+    seen = []
+    orig = gls_mod._build_scan_units
+
+    def spy(buckets):
+        units = orig(buckets)
+        seen.extend(k for k, _ in units)
+        return units
+
+    gls_mod._build_scan_units = spy
+    monkeypatch.setenv("NINPOL_TPU_NO_SCAN", "1")
+    try:
+        interp.gls.chunk_nodes = 256    # would stack without the knob
+        interp._prep_cache.clear()
+        W1, N1 = interp.prepare_interpolator("gls", case.name, tp)
+    finally:
+        gls_mod._build_scan_units = orig
+        interp.gls.chunk_nodes = 32768
+    assert not seen                     # _build_scan_units never called
+    np.testing.assert_array_equal(W0, W1)
+    np.testing.assert_array_equal(N0, N1)
