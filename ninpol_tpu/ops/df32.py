@@ -237,7 +237,11 @@ def exp2(x):
     p2k = lax.bitcast_convert_type(
         ((ki + jnp.int32(127)) << jnp.int32(23)).astype(jnp.int32),
         jnp.float32)
-    return scale(acc, p2k)
+    # multiply by the exact power of two DIRECTLY: scale()'s Dekker
+    # two_prod splits its operands by multiplying with 4097, which
+    # overflows to inf -> NaN for p2k >~ 2^116 — but a power-of-two
+    # product is already exact in f32, no error term needed
+    return acc[0] * p2k, acc[1] * p2k
 
 
 def powd(x, y):

@@ -129,3 +129,28 @@ def test_gls_fused_kernel_matches_oracle():
     finally:
         pallas_chol.INTERPRET = old_i
         gls_mod._FORCE_FUSED = old_f
+
+
+def test_clamped_pivot_flags_both_rounds():
+    """ADVICE r2 regression: breakdown detection must look at BOTH
+    CholQR rounds' diagonals.  A clamped round-1 pivot shows up as
+    |diag(Li1)| ~ 1/sqrt(tiny), but a large round-2 diagonal can cancel
+    it in the combined factor Lc = L2^{-1} Li1, pushing max |diag(Lc)|
+    back under the 3e4 sick threshold — so the guard is
+    max(|diag Li1|, |diag Lc|) (gls.py XLA path) / max(dinv1,
+    dinv1*dinv2) (pallas_chol._solve_kernel)."""
+    from ninpol_tpu.ops.pallas_chol import chol_linv_f32
+
+    B, n = 4, 8
+    G1 = np.tile(np.eye(n, dtype=np.float32), (B, 1, 1))
+    G1[:, n - 1, n - 1] = 1e-14             # below tiny=1e-12 -> clamp
+    Li1 = np.asarray(chol_linv_f32(jnp.asarray(G1)))
+    d_r1 = np.abs(np.diagonal(Li1, axis1=1, axis2=2)).max()
+    assert d_r1 > 3e4                        # round-1 clamp visible
+    G2 = np.tile(np.eye(n, dtype=np.float32), (B, 1, 1))
+    G2[:, n - 1, n - 1] = 1e8                # round 2 "compensates"
+    Lc = np.asarray(chol_linv_f32(jnp.asarray(G2),
+                                  mul_right=jnp.asarray(Li1)))
+    d_comb = np.abs(np.diagonal(Lc, axis1=1, axis2=2)).max()
+    assert d_comb < 3e4          # the combined factor alone MISSES it
+    assert max(d_comb, d_r1) > 3e4   # the both-rounds guard catches it

@@ -135,3 +135,22 @@ def test_bucket_chunk_plan_bounds():
         # per class
         assert total_pad <= 4 * total_real + 256 * sum(
             len(s) for s in shapes.values()), (total_pad, total_real)
+
+
+def test_df32_exp2_saturates():
+    """ADVICE r2 regression: the exponent-field construction of 2^k in
+    df32.exp2 must SATURATE outside [-126, 127] instead of silently
+    wrapping the f32 exponent field (tau_base 1e-30 with eta > 1.27 can
+    reach |x| > 126 through powd)."""
+    import jax.numpy as jnp
+    from ninpol_tpu.ops import df32
+
+    x = jnp.asarray(np.array([-300.0, -126.0, 0.0, 100.0, 300.0]))
+    out = np.asarray(df32.to_f64(df32.exp2(df32.from_f64(x))))
+    assert np.all(np.isfinite(out)) and np.all(out > 0)
+    # in-domain values stay accurate
+    assert abs(out[1] - 2.0 ** -126) / 2.0 ** -126 < 1e-10
+    assert out[2] == 1.0
+    assert abs(out[3] - 2.0 ** 100) / 2.0 ** 100 < 1e-10
+    # saturated values degrade monotonically (no wrap to the other end)
+    assert out[0] <= out[1] and out[4] >= out[3]
