@@ -138,18 +138,58 @@ def _iota_eq(shape, axis, k):
             == k).astype(_F32)
 
 
-def _chol_panels(gscr, n_pad, tiny):
-    """Blocked (8-wide panel) Cholesky of G stored by COLUMN planes:
-    gscr[c, r, :] = G[r, c] on entry, L[r, c] on exit (entries above the
-    diagonal are garbage).  All eight pivots of a panel share ONE pass
-    over the trailing submatrix (1/4 the trailing-update VMEM traffic of
-    rank-2 blocking), and both trailing slices are sublane-aligned.
+# Super-panel width for the OPTIONAL two-level MXU variant of the
+# blocked Cholesky / inverse-row passes (lt_scr/limx_scr given): prior
+# super-panels fold in through batched per-node MXU dot_generals.
+# NEGATIVE RESULT (round 4, tools/chol_mxu_probe.py on v5e, E=24,
+# n_pad=80): every width LOSES to the all-VPU baseline — 636 ns/node
+# VPU vs 1850 (sup=8) / 1318 (16) / 1026 (32) / 781 (48) — because each
+# batched sub-128 dot_general costs ~100+ ns/node of Mosaic dispatch
+# latency + cross-layout relayout, and the VPU form is already near
+# flop-bound.  The production kernel therefore calls these helpers
+# WITHOUT the scratches; the MXU paths remain for the probe's A/B.
+CHOL_SUP = 32
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _chol_panels(gscr, n_pad, tiny, lt_scr=None, sup=CHOL_SUP):
+    """Blocked Cholesky of G stored by COLUMN planes: gscr[c, r, :] =
+    G[r, c] on entry, L[r, c] on exit (entries above the diagonal are
+    garbage).
+
+    With ``lt_scr`` (a (NT, n_pad, n_pad) VMEM ref), the factorization
+    is LEFT-LOOKING at ``sup``-wide super-panels: all prior super-panels
+    fold into the current one through ONE batched per-node MXU
+    dot_general against lt_scr — the incrementally maintained MXU-layout
+    transpose of the factor (lt_scr[q, j, r] = L[r, j], lower-triangular
+    masked incl. diagonal, written one 8-panel at a time) — and the
+    right-looking VPU
+    rank-8 trailing updates are confined to the super-panel's columns.
+    This moves the kernel's largest stage (the full-width trailing
+    updates, matmul-shaped) onto the MXU.  Without lt_scr the original
+    all-VPU right-looking form runs (CPU-test / probe baseline).
 
     Returns the per-pivot inverse diagonals dinv[k] (each (NT,)) — this
     IS diag(L^{-1}), used for breakdown detection (a clamped pivot shows
     up as dinv ~ 1/sqrt(tiny)) and by the row solver."""
     dinvs = []
     for k0 in range(0, n_pad, 8):
+        ks = (k0 // sup) * sup if lt_scr is not None else 0
+        if lt_scr is not None and k0 == ks and k0 > 0:
+            # MXU fold of ALL prior super-panels into this one:
+            # st[c, r] = sum_{j<k0} L[r, j] * L[k0+c, j].  The column
+            # operand reads the factor rows from gscr (sublane-aligned
+            # planes); the row operand is lt_scr, whose masked planes
+            # keep garbage (above-diagonal) entries out of the dot.
+            w = min(sup, n_pad - k0)
+            lrB = gscr[:k0, k0:k0 + w, :]              # (k0, w, NT)
+            ltp = jnp.transpose(lrB, (2, 0, 1))        # (NT, k0, w)
+            s = jax.lax.dot_general(
+                lt_scr[:, :k0, :], ltp,
+                (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=_F32, precision=_HI)
+            st = jnp.transpose(s, (2, 1, 0))           # (w, n_pad, NT)
+            gscr[k0:k0 + w, :, :] = gscr[k0:k0 + w, :, :] - st
         pan = gscr[k0:k0 + 8, :, :]                    # (8, n_pad, NT)
         cols = []
         for c in range(8):
@@ -163,30 +203,63 @@ def _chol_panels(gscr, n_pad, tiny):
             dinvs.append(dinv)
             cols.append(colc)
             gscr[k0 + c, :, :] = colc
-        if k0 + 8 < n_pad:
-            tr = gscr[k0 + 8:, k0 + 8:, :]
+        if lt_scr is not None:
+            # append this panel to the MXU-layout factor transpose,
+            # strictly-lower masked (keeps garbage out of later folds)
+            masked = [
+                cols[c] * (jax.lax.broadcasted_iota(
+                    jnp.int32, (n_pad, NT), 0)
+                    >= jnp.int32(k0 + c)).astype(_F32)
+                for c in range(8)]
+            pstk = jnp.stack(masked, axis=0)           # (8, n_pad, NT)
+            lt_scr[:, k0:k0 + 8, :] = jnp.transpose(pstk, (2, 0, 1))
+        send = (ks + min(sup, n_pad - ks)) if lt_scr is not None else n_pad
+        if k0 + 8 < send:
+            # right-looking rank-8 trailing update, confined to this
+            # super-panel's columns (full column height)
+            tr = gscr[k0 + 8:send, k0 + 8:, :]
             for c in range(8):
-                t = cols[c][k0 + 8:, :]
-                tr = tr - t[:, None, :] * t[None, :, :]
-            gscr[k0 + 8:, k0 + 8:, :] = tr
+                tc = cols[c][k0 + 8:send, :]
+                trr = cols[c][k0 + 8:, :]
+                tr = tr - tc[:, None, :] * trr[None, :, :]
+            gscr[k0 + 8:send, k0 + 8:, :] = tr
     return dinvs
 
 
-def _linv_rows(gscr, li_scr, n_pad, dinvs, mul=None):
+def _linv_rows(gscr, li_scr, n_pad, dinvs, mul=None, limx_scr=None,
+               sup=CHOL_SUP):
     """li_scr[k] (ROW plane k) <- row k of L^{-1} (or of L^{-1} @ mul,
     with ``mul`` a value holding row planes).  Each 8-row block folds in
-    all prior blocks through one streamed pass over the already-written
-    rows, then resolves the in-block couplings sequentially.  L is read
-    from gscr column planes (as left by _chol_panels).
+    prior blocks, then resolves the in-block couplings sequentially.  L
+    is read from gscr column planes (as left by _chol_panels).
+
+    With ``limx_scr`` (a (NT, n_pad, n_pad) VMEM ref), prior SUPER-panels
+    (width ``sup``) fold through one batched per-node MXU dot_general
+    against limx_scr — the incrementally maintained MXU-layout copy of
+    the inverse rows (limx_scr[q, k, :] = row k) — and only the in-super
+    prior 8-blocks stream through the VPU.  On exit limx_scr holds the
+    full L^{-1} in MXU layout (= transpose(li, (2, 0, 1))), which the
+    fused kernel reuses directly as the Q = A Li^T operand.  Without
+    limx_scr the original all-VPU streamed fold runs.
 
     Rows are exactly zero right of the diagonal by construction (the
     one-hot base and the triangular ``mul`` rows guarantee it)."""
     for k0 in range(0, n_pad, 8):
+        ks = (k0 // sup) * sup if limx_scr is not None else 0
         acc = jnp.zeros((8, n_pad, NT), _F32)
-        if k0:
-            lrB = gscr[:k0, k0:k0 + 8, :]              # (k0, 8, NT)
-            for j in range(k0):
-                acc = acc + lrB[j][:, None, :] * li_scr[j][None, :, :]
+        if limx_scr is not None and ks > 0:
+            # acc[c, col] = sum_{j<ks} L[k0+c, j] * Li[j, col]
+            lrB = gscr[:ks, k0:k0 + 8, :]              # (ks, 8, NT)
+            lrm = jnp.transpose(lrB, (2, 0, 1))        # (NT, ks, 8)
+            am = jax.lax.dot_general(
+                limx_scr[:, :ks, :], lrm,
+                (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=_F32, precision=_HI)
+            acc = jnp.transpose(am, (2, 1, 0))         # (8, n_pad, NT)
+        if k0 > ks:
+            lrB = gscr[ks:k0, k0:k0 + 8, :]            # (k0-ks, 8, NT)
+            for j in range(k0 - ks):
+                acc = acc + lrB[j][:, None, :] * li_scr[ks + j][None, :, :]
         rows = []
         for c in range(8):
             k = k0 + c
@@ -199,6 +272,9 @@ def _linv_rows(gscr, li_scr, n_pad, dinvs, mul=None):
             row = (base - s) * dinvs[k][None, :]
             rows.append(row)
             li_scr[k, :, :] = row
+        if limx_scr is not None:
+            rstk = jnp.stack(rows, axis=0)             # (8, n_pad, NT)
+            limx_scr[:, k0:k0 + 8, :] = jnp.transpose(rstk, (2, 0, 1))
 
 
 def _gram_mxu(at, g_scr, n_pad, diag_vec):
@@ -350,6 +426,13 @@ def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
     a = a * D[None, :, :]
     at = jnp.transpose(a, (2, 0, 1))                   # (NT, m, n_pad)
     _gram_mxu(at, g_scr, n_pad, deadm + _F32(shift))
+    # chol/linv stay ALL-VPU (lt_scr/limx_scr=None): the MXU super-panel
+    # folds were built and measured (tools/chol_mxu_probe.py, round 4)
+    # and LOSE — 781-1850 ns/node vs 636 for this baseline at (E=24,
+    # n_pad=80): batched sub-128 dot_generals cost ~100+ ns/node EACH in
+    # Mosaic dispatch latency + cross-layout relayout, and the VPU form
+    # is already near flop-bound.  The MXU-vs-VPU boundary is ~3 big
+    # dots per pass (gram/Q win, the 5-10 small fold dots do not).
     dinv1 = _chol_panels(g_scr, n_pad, tiny)
     _linv_rows(g_scr, li_scr, n_pad, dinv1)
     li1 = li_scr[:]
