@@ -55,9 +55,10 @@ class DeviceGrid:
     parallel/sharding.py for the geometry-sharded memory-scaling
     variant)."""
 
-    def __init__(self, grid, mesh=None):
+    def __init__(self, grid, mesh=None, shard_geometry=False):
         self.grid = grid
         self.mesh = mesh
+        self.shard_geometry = bool(shard_geometry) and mesh is not None
         self.dim = grid.dim
         self.n_points = grid.n_points
         self.n_elems = grid.n_elems
@@ -87,18 +88,48 @@ class DeviceGrid:
             target = NamedSharding(mesh, PartitionSpec())
         put = lambda x: jax.device_put(jnp.asarray(x), target)
 
-        def put_pair(a):
-            """Upload a float64 geometry array as an exact hi/lo float32
-            pair (same bytes on the wire; hi + lo reconstructs the f64
-            bit-exactly).  The GLS fast path consumes the pairs directly
-            (df32 prologue); f64 consumers use the lazy properties."""
+        if self.shard_geometry:
+            # HBM-scaling mode: partition every per-entity grid array
+            # over the mesh (dim 0, zero-padded to the mesh size —
+            # padded entries are never gathered: all stencil ids stay
+            # below the original extents).  Kernels then run under GSPMD
+            # auto-partitioning (gls/idw/ls drivers skip shard_map) and
+            # XLA inserts the ICI all-gathers for the stencil gathers.
+            axis = mesh.axis_names[0]
+            geo_target = NamedSharding(mesh, PartitionSpec(axis))
+            n_dev = mesh.devices.size
+
+            def put(arr):  # noqa: F811 - intentional mode override
+                arr = np.asarray(arr)
+                pad = (-arr.shape[0]) % n_dev
+                if pad:
+                    widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+                    arr = np.pad(arr, widths)
+                return jax.device_put(jnp.asarray(arr), geo_target)
+        # per-variable data (GLS face_pack / neumann flags) follows the
+        # same placement as the grid arrays
+        self.put_geo = put
+
+        def hpack(a):
+            """hi/lo float32 split of a float64 array, packed host-side
+            into one (n, 2k) row (hi + lo reconstructs f64 bit-exactly).
+            Building packs on the HOST and uploading once avoids both a
+            per-pack device concat program (~10 s of executable load
+            through this environment's remote helper) and a duplicate
+            pair copy in HBM."""
             a = np.asarray(a, np.float64)
             h = a.astype(np.float32)
-            return put(h), put((a - h.astype(np.float64))
-                               .astype(np.float32))
+            return np.concatenate(
+                [h, (a - h.astype(np.float64)).astype(np.float32)],
+                axis=1)
 
-        self.pc_h, self.pc_l = put_pair(grid.point_coords)
-        self.cen_h, self.cen_l = put_pair(grid.centroids)
+        def put_pair(a):
+            """Device-resident hi/lo float32 pair of a float64 geometry
+            array (consumed by the per-variable GLS face_pack concat)."""
+            p = hpack(a)
+            k = p.shape[1] // 2
+            return put(p[:, :k]), put(p[:, k:])
+
         self.nrm_h, self.nrm_l = put_pair(grid.normal_faces)
         self.fcc_h, self.fcc_l = put_pair(grid.faces_centers)
         self._f64_cache = {}
@@ -107,8 +138,8 @@ class DeviceGrid:
         # regardless of width (measured: 17 narrow stencil gathers ≈ the
         # entire fused solve kernel), so per-point/per-cell/per-face data
         # is packed into one wide row per entity and gathered ONCE.
-        self.point_pack = jnp.concatenate([self.pc_h, self.pc_l], axis=1)
-        self.cell_pack = jnp.concatenate([self.cen_h, self.cen_l], axis=1)
+        self.point_pack = put(hpack(grid.point_coords))
+        self.cell_pack = put(hpack(grid.centroids))
         # int face row: the esuf pair only (boundary flag = esuf[1] < 0;
         # inpofa stays host-side — the per-face Neumann mean that used
         # to need it on device is precomputed on the host, gls.py).
@@ -123,9 +154,9 @@ class DeviceGrid:
         # as host arrays on the Grid) — separate device copies would add
         # seconds of upload through this environment's relay.
 
-    # float64 device views reconstructed lazily from the pairs (exact:
-    # hi + lo is the original value) — used by IDW/LS and the legacy
-    # solver paths; the GLS fast path reads the pairs directly.
+    # float64 device views reconstructed lazily from the pairs/packs
+    # (exact: hi + lo is the original value) — convenience accessors;
+    # the method kernels read the packs directly.
     def _f64(self, name, h, l):
         if name not in self._f64_cache:
             self._f64_cache[name] = (h.astype(jnp.float64)
@@ -134,11 +165,13 @@ class DeviceGrid:
 
     @property
     def point_coords(self):
-        return self._f64("pc", self.pc_h, self.pc_l)
+        return self._f64("pc", self.point_pack[:, 0:3],
+                         self.point_pack[:, 3:6])
 
     @property
     def centroids(self):
-        return self._f64("cen", self.cen_h, self.cen_l)
+        return self._f64("cen", self.cell_pack[:, 0:3],
+                         self.cell_pack[:, 3:6])
 
     @property
     def normal_faces(self):
@@ -250,10 +283,21 @@ class DeviceGrid:
                 plan.append((q, q))
                 rem -= q
             if rem > 0:
-                last = q
-                while last // 4 >= max(batch_align, rem):
-                    last //= 4
-                plan.append((max(batch_align, last), rem))
+                if plan:
+                    # the mesh already fills >= one chunk: snap the final
+                    # partial chunk UP to the quantum so it shares the
+                    # quantum class's compiled program (and its scan
+                    # stacks) — <= q-1 padded nodes ~ 10 ms of device
+                    # compute vs ~10 s of executable load for one more
+                    # distinct (E, F, B) shape through the remote helper
+                    plan.append((q, rem))
+                else:
+                    # tiny mesh (CPU tests): geometric ladder keeps the
+                    # padding <= 4x the real nodes
+                    last = q
+                    while last // 4 >= max(batch_align, rem):
+                        last //= 4
+                    plan.append((max(batch_align, last), rem))
             lo = 0
             for B, take in plan:
                 pc = p[lo:lo + take]
@@ -354,46 +398,127 @@ def fetch_groups_overlapped(cats, groups, write_group):
 _preloaded_sigs = set()
 
 
-def dispatch_with_preload(buckets, run, n_target, ncols_out, device_out,
-                          delivery_f32):
-    """Dispatch ``run(bucket)`` for every bucket, first pulling each
-    DISTINCT compiled program through the remote helper from a thread
-    pool: even fully cached, an executable load blocks the dispatching
-    thread ~10 s through this environment's helper, and loads overlap
-    across threads.  The solve programs preload by RUNNING the first
-    bucket of each (E, B) class (results kept — no work runs twice);
-    the delivery consolidation preloads with same-shape device-resident
-    zero inputs (junk results dropped; jnp.zeros allocates on device),
-    once per shape signature per process."""
+# Scan-stack sizes snap to this ladder (largest first) so scan programs
+# come from a small fixed set of shapes — every distinct program costs
+# ~10 s of executable load through the remote helper even fully cached,
+# and minutes to compile fresh.
+_SCAN_LADDER = (16, 8, 4, 2)
+
+
+def _dummy_chunk(proto):
+    """An all-invalid chunk of the same (E, F, B) class as ``proto`` —
+    scan stacks pad with these to land on a ladder size (pos -1 routes
+    every output row out of bounds; valid=False keeps kernels inert)."""
+    B = len(proto["pos"])
+    return {"pos": np.full(B, -1, dtype=np.int64),
+            "nodes": np.zeros(B, dtype=np.int32),
+            "valid": np.zeros(B, dtype=bool),
+            "E": proto["E"], "F": proto.get("F", 0)}
+
+
+def build_scan_units(all_buckets, extra_keys=()):
+    """Group identical-shape chunks into lax.scan stacks.  Returns a
+    list of ("scan", megabucket) / ("single", bucket) units.  Megabuckets
+    carry concatenated host pos/valid (for delivery + fallback masks)
+    and the stacked device inputs, cached on the first member's dict so
+    repeat prepares over the same cached plan re-use the uploads.
+
+    Groups SNAP UP to the ladder with all-invalid dummy chunks when the
+    padding is cheap (<= max(1, r//3) dummies): a dummy chunk costs one
+    kernel body (tens of ms on device) while a distinct program shape
+    costs ~10 s of executable load through this environment's remote
+    helper — so lone chunks ride an S=2 stack rather than keeping a
+    separate single-dispatch program alive.  ``extra_keys`` join the
+    class key (and are stamped onto the megabucket), e.g. GLS's
+    with_neumann."""
+    from collections import defaultdict
+    by_cls = defaultdict(list)
+    for b in all_buckets:
+        key = (b["E"], b.get("F", 0), len(b["pos"]),
+               tuple(b.get(k) for k in extra_keys))
+        by_cls[key].append(b)
+    units = []
+    for (E, F, B, _xk), bs in by_cls.items():
+        i = 0
+        while i < len(bs):
+            r = len(bs) - i
+            s_up = next((s for s in reversed(_SCAN_LADDER) if s >= r),
+                        None)
+            if s_up is not None and s_up - r <= max(1, r // 3):
+                S = s_up
+            else:
+                S = next(s for s in _SCAN_LADDER if s <= r)
+            grp = list(bs[i:i + min(S, r)])
+            i += min(S, r)
+            proto = grp[0]
+            mb = proto.get("_scan_unit")
+            if mb is None or mb["S"] != S:
+                full = grp + [_dummy_chunk(proto)
+                              for _ in range(S - len(grp))]
+                mb = {
+                    "pos": np.concatenate([b["pos"] for b in full]),
+                    "valid": np.concatenate([b["valid"] for b in full]),
+                    "E": E, "F": F, "S": S,
+                    "nodes_sd": jnp.asarray(
+                        np.stack([b["nodes"] for b in full])),
+                    "valid_sd": jnp.asarray(
+                        np.stack([b["valid"] for b in full])),
+                }
+                proto["_scan_unit"] = mb
+            for k in extra_keys:
+                mb[k] = proto.get(k)
+            units.append(("scan", mb))
+    return units
+
+
+def dispatch_units_with_preload(units, run_unit, n_target, ncols_out,
+                                device_out, delivery_f32):
+    """Dispatch ``run_unit(unit)`` for every ("scan"/"single", payload)
+    unit, first pulling each DISTINCT compiled program through the
+    remote helper from a thread pool: even fully cached, an executable
+    load blocks the dispatching thread ~10 s through this environment's
+    helper, and loads overlap across threads.  The solve programs
+    preload by RUNNING the first unit of each shape class (results kept
+    — no work runs twice); the delivery consolidation preloads with
+    same-shape device-resident zero inputs (junk results dropped;
+    jnp.zeros allocates on device), once per shape signature per
+    process.  Returns [(payload, rows)]."""
+    def usig(u):
+        kind, p = u
+        return (kind, p["E"], p.get("F", 0), p.get("S", 1),
+                len(p["pos"]))
+
     preloaded = {}
-    if buckets:
+    payloads = [u[1] for u in units]
+    if units:
         first_of = {}
-        for b in buckets:
-            first_of.setdefault((b["E"], len(b["pos"])), b)
-        # program identity depends on the FULL bucket shape sequence
+        for u in units:
+            first_of.setdefault(usig(u), u)
+        # program identity depends on the FULL unit shape sequence
         # (group composition), not just the distinct classes
-        sig = ("deliver", tuple((b["E"], len(b["pos"])) for b in buckets),
+        sig = ("deliver", tuple((p["E"], len(p["pos"])) for p in payloads),
                n_target, ncols_out, device_out, bool(delivery_f32))
 
-        def dummy_rows(bs):
-            return tuple(jnp.zeros((len(b["pos"]), b["E"]), jnp.float64)
-                         for b in bs)
+        def dummy_rows(ps):
+            return tuple(jnp.zeros((len(p["pos"]), p["E"]), jnp.float64)
+                         for p in ps)
 
         def preload_delivery():
             if device_out:
-                pos = jnp.zeros((sum(len(b["pos"]) for b in buckets),),
+                pos = jnp.zeros((sum(len(p["pos"]) for p in payloads),),
                                 jnp.int64)
-                _deliver_device_j(dummy_rows(buckets), pos,
+                _deliver_device_j(dummy_rows(payloads), pos,
                                   n_target=n_target, ncols_out=ncols_out)
             else:
-                for grp in group_plan(buckets):
+                for grp in group_plan(payloads):
                     _deliver_concat_j(dummy_rows(grp),
                                       delivery_f32=bool(delivery_f32),
                                       ncols_out=ncols_out)
 
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(min(8, len(first_of) + 1)) as ex:
-            futs = {ex.submit(run, b): id(b) for b in first_of.values()}
+            futs = {ex.submit(run_unit, u): id(u[1])
+                    for u in first_of.values()}
             job = None
             if sig not in _preloaded_sigs:
                 _preloaded_sigs.add(sig)
@@ -403,9 +528,9 @@ def dispatch_with_preload(buckets, run, n_target, ncols_out, device_out,
             if job is not None:
                 job.result()
     out = []
-    for b in buckets:
-        w = preloaded.pop(id(b), None)
-        out.append((b, w if w is not None else run(b)))
+    for kind, p in units:
+        w = preloaded.pop(id(p), None)
+        out.append((p, w if w is not None else run_unit((kind, p))))
     return out
 
 

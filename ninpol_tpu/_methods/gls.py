@@ -629,47 +629,13 @@ def _gls_bucket_scan(nodes_s, valid_s, esup2d, esup_cnt, fsup2d, fsup_cnt,
     return w.reshape(S * B, w.shape[2]), wn.reshape(S * B), rn.reshape(S * B)
 
 
-# Stack sizes snap to this ladder (largest first) so scan programs come
-# from a small fixed set of shapes — every distinct program costs ~10 s
-# of executable load through the remote helper even fully cached, and
-# minutes to compile fresh.
-_SCAN_LADDER = (16, 8, 4, 2)
-
-
 def _build_scan_units(all_buckets):
-    """Group identical-shape chunks into scan stacks.  Returns a list of
-    ("scan", megabucket) / ("single", bucket) units.  Megabuckets carry
-    concatenated host pos/valid (for delivery + fallback masks) and the
-    stacked device inputs, cached on the first member's dict so repeat
-    prepares over the same cached plan re-use the uploads."""
-    from collections import defaultdict
-    by_cls = defaultdict(list)
-    for b in all_buckets:
-        by_cls[(b["E"], b["F"], len(b["pos"]),
-                b["with_neumann"])].append(b)
-    units = []
-    for (E, F, B, wneu), bs in by_cls.items():
-        i = 0
-        while len(bs) - i >= _SCAN_LADDER[-1]:
-            S = next(s for s in _SCAN_LADDER if s <= len(bs) - i)
-            grp = bs[i:i + S]
-            mb = grp[0].get("_scan_unit")
-            if mb is None or mb["S"] != S:
-                mb = {
-                    "pos": np.concatenate([b["pos"] for b in grp]),
-                    "valid": np.concatenate([b["valid"] for b in grp]),
-                    "E": E, "F": F, "S": S,
-                    "nodes_sd": jnp.asarray(
-                        np.stack([b["nodes"] for b in grp])),
-                    "valid_sd": jnp.asarray(
-                        np.stack([b["valid"] for b in grp])),
-                }
-                grp[0]["_scan_unit"] = mb
-            mb["with_neumann"] = wneu
-            units.append(("scan", mb))
-            i += S
-        units.extend(("single", b) for b in bs[i:])
-    return units
+    """Group identical-shape chunks into scan stacks (shared builder:
+    device_grid.build_scan_units; groups snap UP to the ladder with
+    all-invalid dummy chunks, so no single-dispatch programs survive).
+    Kept as a module attribute so tests can spy on the scan path."""
+    from .device_grid import build_scan_units
+    return build_scan_units(all_buckets, extra_keys=("with_neumann",))
 
 # Multi-chip entry: the SAME kernel body under jax.shard_map — the node
 # batch is sharded over the mesh's "nodes" axis, all grid/face arrays
@@ -947,12 +913,16 @@ class GLSInterpolation:
             # nLb columns are derived in-kernel
             ip_f = jax.lax.bitcast_convert_type(dgrid.face_ipack,
                                                 jnp.float32)
+            # shard_geometry mode: flux/flags follow the grid arrays'
+            # dim-0 partitioning (put_geo pads to the mesh size so the
+            # concat operands agree); default mode put_geo is a plain
+            # single-device/replicated upload
             face_pack = jnp.concatenate(
                 [ip_f[:, 0:2],
                  dgrid.nrm_h, dgrid.nrm_l, dgrid.fcc_h, dgrid.fcc_l,
-                 jnp.asarray(flux)], axis=1)
+                 dgrid.put_geo(flux)], axis=1)
             del flux
-            self._face_cache = (face_pack, jnp.asarray(neumann_flag))
+            self._face_cache = (face_pack, dgrid.put_geo(neumann_flag))
             self._face_cache_key = ckey
         face_dev = self._face_cache
         _mark("face_cache")
@@ -964,12 +934,20 @@ class GLSInterpolation:
                     and (jax.default_backend() == "tpu" or _FORCE_FUSED))
 
         mesh = getattr(dgrid, "mesh", None)
+        shard_geo = getattr(dgrid, "shard_geometry", False)
 
         from .device_grid import bucket_dev
 
         def run_bucket(bucket, exact):
-            nv = (bucket_dev(bucket) if mesh is None
-                  else (bucket["nodes"], bucket["valid"]))
+            if mesh is None:
+                nv = bucket_dev(bucket)
+            elif shard_geo:
+                from jax.sharding import NamedSharding, PartitionSpec
+                nsh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+                nv = (jax.device_put(jnp.asarray(bucket["nodes"]), nsh),
+                      jax.device_put(jnp.asarray(bucket["valid"]), nsh))
+            else:
+                nv = (bucket["nodes"], bucket["valid"])
             args = (
                 *nv,
                 dgrid.esup2d, dgrid.esup_cnt, dgrid.fsup2d, dgrid.fsup_cnt,
@@ -979,9 +957,16 @@ class GLSInterpolation:
                 E=bucket["E"], F=bucket["F"], n_refine=self.n_refine,
                 exact=exact, neumann_compat=self.neumann_compat,
                 with_neumann=bucket.get("with_neumann", True),
-                solver=solver, fused=fused_ok and not exact,
+                solver=solver,
+                # geometry-sharded mode runs the XLA solver path under
+                # GSPMD auto-partitioning (the sharded inputs make XLA
+                # insert the stencil-gather all-gathers); the fused
+                # Pallas kernel requires replicated geometry
+                fused=fused_ok and not exact and not shard_geo,
                 rounds=self.precond_rounds)
             if mesh is None:
+                return _gls_bucket_kernel(*args, **statics)
+            if shard_geo:
                 return _gls_bucket_kernel(*args, **statics)
             return _gls_bucket_sharded(
                 mesh, tuple(sorted(statics.items())))(*args)

@@ -55,6 +55,33 @@ _idw_bucket_kernel = partial(
     jax.jit, static_argnames=("E", "dim"))(_idw_bucket_impl)
 
 
+# Scan-stacked entry: S identical-shape chunks run as ONE program (see
+# _methods/gls.py — every separate dispatch leaves the device idle
+# ~30 ms through this environment's remote helper, and each distinct
+# program costs ~10 s of executable load even fully cached; at 2M-point
+# hexa scale the per-chunk dispatch gaps alone were ~0.5 s).
+@partial(jax.jit, static_argnames=("E", "dim"))
+def _idw_bucket_scan(nodes_s, valid_s, esup2d, esup_cnt,
+                     point_pack, cell_pack, *, E, dim):
+    def body(c, nv):
+        nodes, valid = nv
+        return c, _idw_bucket_impl(nodes, valid, esup2d, esup_cnt,
+                                   point_pack, cell_pack, E=E, dim=dim)
+
+    _, w = jax.lax.scan(body, 0, (nodes_s, valid_s))
+    S, B = nodes_s.shape
+    return w.reshape(S * B, w.shape[2])
+
+
+def shard_nodes(mesh, bucket):
+    """(nodes, valid) device_put with the node axis partitioned over the
+    mesh — the geometry-sharded (GSPMD) path's bucket placement."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    nsh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+    return (jax.device_put(jnp.asarray(bucket["nodes"]), nsh),
+            jax.device_put(jnp.asarray(bucket["valid"]), nsh))
+
+
 def sharded_simple_kernel(impl, mesh, statics, n_rep, cache={}):
     """jit(shard_map(impl)) with (nodes, valid) sharded over the mesh
     axis and ``n_rep`` trailing grid arrays replicated — shared by the
@@ -91,8 +118,9 @@ class IDWInterpolation:
         nf_idx = variable_to_index["points"]["neumann_flag_" + variable]
         neumann_flag = points_data[nf_idx].astype(np.int64)
 
-        from .device_grid import (bucket_dev, deliver_weights,
-                                  dispatch_with_preload)
+        from .device_grid import (build_scan_units, bucket_dev,
+                                  deliver_weights,
+                                  dispatch_units_with_preload)
         target_points = np.asarray(target_points)
         active = ~(grid.boundary_points[target_points].astype(bool)
                    & (neumann_flag[target_points] == 0))
@@ -102,24 +130,45 @@ class IDWInterpolation:
         buckets = dgrid.buckets(target_points, active, need_faces=False,
                                 chunk_size=131072, batch_align=balign)
 
+        shard_geo = getattr(dgrid, "shard_geometry", False)
+
         def run(bucket):
-            nv = (bucket_dev(bucket) if mesh is None
-                  else (bucket["nodes"], bucket["valid"]))
+            if mesh is None:
+                nv = bucket_dev(bucket)
+            elif shard_geo:
+                nv = shard_nodes(mesh, bucket)
+            else:
+                nv = (bucket["nodes"], bucket["valid"])
             args = (*nv,
                     dgrid.esup2d, dgrid.esup_cnt,
                     dgrid.point_pack, dgrid.cell_pack)
-            if mesh is None:
+            if mesh is None or shard_geo:
+                # shard_geo: GSPMD auto-partitioning over the sharded
+                # inputs (XLA inserts the stencil-gather collectives)
                 return _idw_bucket_kernel(*args, E=bucket["E"],
                                           dim=grid.dim)
             return sharded_simple_kernel(
                 _idw_bucket_impl, mesh,
                 (("E", bucket["E"]), ("dim", grid.dim)), 4)(*args)
 
+        def run_unit(unit):
+            kind, b = unit
+            if kind == "single":
+                return run(b)
+            return _idw_bucket_scan(b["nodes_sd"], b["valid_sd"],
+                                    dgrid.esup2d, dgrid.esup_cnt,
+                                    dgrid.point_pack, dgrid.cell_pack,
+                                    E=b["E"], dim=grid.dim)
+
         # column padding to ncols_out happens inside the jitted
         # delivery consolidation (device_grid.deliver_weights)
         if mesh is None:
-            launched = dispatch_with_preload(
-                buckets, run, len(target_points), weights.shape[1],
+            import os as _os
+            units = (build_scan_units(buckets)
+                     if _os.environ.get("NINPOL_TPU_NO_SCAN") != "1"
+                     else [("single", b) for b in buckets])
+            launched = dispatch_units_with_preload(
+                units, run_unit, len(target_points), weights.shape[1],
                 device_out, self.delivery_f32)
         else:
             launched = [(b, run(b)) for b in buckets]

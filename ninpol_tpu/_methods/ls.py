@@ -97,6 +97,21 @@ def _ls_bucket_impl(nodes, valid, esup2d, esup_cnt,
 _ls_bucket_kernel = partial(jax.jit, static_argnames=("E",))(_ls_bucket_impl)
 
 
+# Scan-stacked entry (see _methods/idw.py — kills the ~30 ms/dispatch
+# gaps and the per-chunk program loads at 2M-point scale)
+@partial(jax.jit, static_argnames=("E",))
+def _ls_bucket_scan(nodes_s, valid_s, esup2d, esup_cnt,
+                    point_pack, cell_pack, *, E):
+    def body(c, nv):
+        nodes, valid = nv
+        return c, _ls_bucket_impl(nodes, valid, esup2d, esup_cnt,
+                                  point_pack, cell_pack, E=E)
+
+    _, w = jax.lax.scan(body, 0, (nodes_s, valid_s))
+    S, B = nodes_s.shape
+    return w.reshape(S * B, w.shape[2])
+
+
 class LSInterpolation:
     """Driver matching the reference prepare() contract (ls.pyx:21-31)."""
 
@@ -108,8 +123,9 @@ class LSInterpolation:
     def prepare(self, dgrid, cells_data, points_data, faces_data,
                 variable_to_index, variable, target_points,
                 weights, neumann_ws, device_out=False):
-        from .device_grid import (bucket_dev, deliver_weights,
-                                  dispatch_with_preload)
+        from .device_grid import (build_scan_units, bucket_dev,
+                                  deliver_weights,
+                                  dispatch_units_with_preload)
         grid = dgrid.grid
         nf_idx = variable_to_index["points"]["neumann_flag_" + variable]
         neumann_flag = points_data[nf_idx].astype(np.int64)
@@ -123,23 +139,43 @@ class LSInterpolation:
         buckets = dgrid.buckets(target_points, active, need_faces=False,
                                 chunk_size=131072, batch_align=balign)
 
+        shard_geo = getattr(dgrid, "shard_geometry", False)
+
         def run(bucket):
-            nv = (bucket_dev(bucket) if mesh is None
-                  else (bucket["nodes"], bucket["valid"]))
+            if mesh is None:
+                nv = bucket_dev(bucket)
+            elif shard_geo:
+                from .idw import shard_nodes
+                nv = shard_nodes(mesh, bucket)
+            else:
+                nv = (bucket["nodes"], bucket["valid"])
             args = (*nv,
                     dgrid.esup2d, dgrid.esup_cnt,
                     dgrid.point_pack, dgrid.cell_pack)
-            if mesh is None:
+            if mesh is None or shard_geo:
                 return _ls_bucket_kernel(*args, E=bucket["E"])
             from .idw import sharded_simple_kernel
             return sharded_simple_kernel(
                 _ls_bucket_impl, mesh, (("E", bucket["E"]),), 4)(*args)
 
+        def run_unit(unit):
+            kind, b = unit
+            if kind == "single":
+                return run(b)
+            return _ls_bucket_scan(b["nodes_sd"], b["valid_sd"],
+                                   dgrid.esup2d, dgrid.esup_cnt,
+                                   dgrid.point_pack, dgrid.cell_pack,
+                                   E=b["E"])
+
         # column padding to ncols_out happens inside the jitted
         # delivery consolidation (device_grid.deliver_weights)
         if mesh is None:
-            launched = dispatch_with_preload(
-                buckets, run, len(target_points), weights.shape[1],
+            import os as _os
+            units = (build_scan_units(buckets)
+                     if _os.environ.get("NINPOL_TPU_NO_SCAN") != "1"
+                     else [("single", b) for b in buckets])
+            launched = dispatch_units_with_preload(
+                units, run_unit, len(target_points), weights.shape[1],
                 device_out, self.delivery_f32)
         else:
             launched = [(b, run(b)) for b in buckets]

@@ -51,13 +51,22 @@ from .utils.logger import Logger
 class Interpolator:
 
     def __init__(self, name="interpolator", logging=False, build_edges=False,
-                 mesh=None):
+                 mesh=None, shard_geometry=False):
         """``mesh``: optional jax.sharding.Mesh (or device count) — every
         interpolation then runs sharded over the mesh's devices through
         jax.shard_map (node axis partitioned, grid arrays replicated).
         The multi-chip analogue of the reference's OpenMP threading
         (SURVEY §2.3); pass e.g. ``mesh=8`` or a Mesh built by
-        ninpol_tpu.parallel.sharding.make_mesh."""
+        ninpol_tpu.parallel.sharding.make_mesh.
+
+        ``shard_geometry=True`` (with ``mesh``) additionally PARTITIONS
+        the per-point/cell/face grid arrays across the mesh's devices
+        (dim 0, padded to the mesh size) — HBM scaling for meshes whose
+        geometry exceeds one chip.  The kernels then run under GSPMD
+        auto-partitioning (XLA inserts the ICI all-gathers the stencil
+        gathers need) on the XLA solver path; with replicated geometry
+        (the default) every gather is device-local and the fused Pallas
+        path is used."""
         self.is_grid_initialized = False
         self.build_edges = build_edges
         self.logging = logging
@@ -66,6 +75,7 @@ class Interpolator:
             from .parallel.sharding import make_mesh
             mesh = make_mesh(mesh)
         self.mesh = mesh
+        self.shard_geometry = bool(shard_geometry) and mesh is not None
 
         self.gls = GLSInterpolation(logging)
         self.idw = IDWInterpolation(logging)
@@ -388,7 +398,8 @@ class Interpolator:
     @property
     def device_grid(self):
         if self._device_grid is None:
-            self._device_grid = DeviceGrid(self.grid, mesh=self.mesh)
+            self._device_grid = DeviceGrid(self.grid, mesh=self.mesh,
+                                           shard_geometry=self.shard_geometry)
         return self._device_grid
 
     def interpolate(self, variable, method, target_points=None):
@@ -419,11 +430,15 @@ class Interpolator:
         self.logger.log(
             f"Interpolating variable '{variable}' using method '{method}'",
             "INFO")
+        import os as _os
         tp_key = (method, variable, len(target_points),
                   hash(target_points.tobytes()),
                   self.gls.exact, self.gls.solver, self.gls.neumann_compat,
                   self.gls.n_refine, self.gls.fallback_tol,
-                  self.gls.precond_rounds, self.delivery_f32)
+                  self.gls.precond_rounds, self.delivery_f32,
+                  # the scan kill switch changes the dispatch path the
+                  # cached entries were computed through (ADVICE r3)
+                  _os.environ.get("NINPOL_TPU_NO_SCAN") == "1")
         if tp_key in self._prep_cache:
             weights, neumann_ws = self._prep_cache[tp_key]
         else:

@@ -201,33 +201,43 @@ def test_all_dirichlet_subset_returns_zero_rows():
         assert np.abs(wd).max() == 0.0
 
 
+def _prepare_with_scan_spy(interp, case, tp, chunk_nodes=256):
+    """Re-run a GLS prepare with tiny chunks (forcing a multi-chunk
+    plan) and a gls._build_scan_units spy; saves/restores chunk_nodes
+    from the live attribute (ADVICE r3: a hardcoded restore silently
+    drifts if the default changes).  Returns (W, N, seen_unit_kinds)."""
+    from ninpol_tpu._methods import gls as gls_mod
+
+    seen = []
+    orig_units = gls_mod._build_scan_units
+
+    def spy(buckets):
+        units = orig_units(buckets)
+        seen.extend(k for k, _ in units)
+        return units
+
+    orig_chunk = interp.gls.chunk_nodes
+    gls_mod._build_scan_units = spy
+    try:
+        interp.gls.chunk_nodes = chunk_nodes
+        interp._prep_cache.clear()
+        W, N = interp.prepare_interpolator("gls", case.name, tp)
+    finally:
+        gls_mod._build_scan_units = orig_units
+        interp.gls.chunk_nodes = orig_chunk
+    return W, N, seen
+
+
 def test_scan_stacked_chunks_bit_equal():
     """Identical-shape chunks fused into one lax.scan program
     (gls._build_scan_units) must give bit-identical weights to the
-    per-chunk dispatch path, and must actually trigger on a
+    default single-chunk-plan path, and must actually trigger on a
     multi-chunk plan."""
-    from ninpol_tpu._methods import gls as gls_mod
-
     case, interp = setup_case("hexa", 10)   # 1331 points
     tp = np.arange(interp.grid.n_points)
     W0, N0 = interp.prepare_interpolator("gls", case.name, tp)
 
-    seen = []
-    orig = gls_mod._build_scan_units
-
-    def spy(buckets):
-        units = orig(buckets)
-        seen.extend(k for k, _ in units)
-        return units
-
-    gls_mod._build_scan_units = spy
-    try:
-        interp.gls.chunk_nodes = 256    # force many identical chunks
-        interp._prep_cache.clear()
-        W1, N1 = interp.prepare_interpolator("gls", case.name, tp)
-    finally:
-        gls_mod._build_scan_units = orig
-        interp.gls.chunk_nodes = 32768
+    W1, N1, seen = _prepare_with_scan_spy(interp, case, tp)
     assert "scan" in seen
     np.testing.assert_array_equal(W0, W1)
     np.testing.assert_array_equal(N0, N1)
@@ -237,29 +247,12 @@ def test_scan_kill_switch(monkeypatch):
     """NINPOL_TPU_NO_SCAN=1 must force per-chunk dispatch (hardware
     fallback knob for scan-over-Pallas lowering regressions) and still
     produce identical weights."""
-    from ninpol_tpu._methods import gls as gls_mod
-
     case, interp = setup_case("hexa", 10)
     tp = np.arange(interp.grid.n_points)
     W0, N0 = interp.prepare_interpolator("gls", case.name, tp)
 
-    seen = []
-    orig = gls_mod._build_scan_units
-
-    def spy(buckets):
-        units = orig(buckets)
-        seen.extend(k for k, _ in units)
-        return units
-
-    gls_mod._build_scan_units = spy
     monkeypatch.setenv("NINPOL_TPU_NO_SCAN", "1")
-    try:
-        interp.gls.chunk_nodes = 256    # would stack without the knob
-        interp._prep_cache.clear()
-        W1, N1 = interp.prepare_interpolator("gls", case.name, tp)
-    finally:
-        gls_mod._build_scan_units = orig
-        interp.gls.chunk_nodes = 32768
+    W1, N1, seen = _prepare_with_scan_spy(interp, case, tp)
     assert not seen                     # _build_scan_units never called
     np.testing.assert_array_equal(W0, W1)
     np.testing.assert_array_equal(N0, N1)
