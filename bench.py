@@ -133,7 +133,19 @@ def main():
     timer.start()
     n = int(os.environ.get("NINPOL_BENCH_N", "68"))
     t_all = time.perf_counter()
+    # Overlap the TPU backend init (axon tunnel open + compile-cache
+    # setup, several seconds) with the host-side mesh generation and C++
+    # grid build.  The executable preloads themselves cannot start here:
+    # every program shape depends on the bucket plan, which needs the
+    # built grid's stencil-size stats (the preload pool inside prepare()
+    # overlaps the loads with each other instead).
+    def _init_backend():
+        import jax
+        jax.devices()
+    bk = threading.Thread(target=_init_backend, daemon=True)
+    bk.start()
     interp, build_time = build_problem(n)
+    bk.join()
     # experimentation knobs: single-round CholQR preconditioner /
     # refinement sweep count (sweeps = n_refine + 1; CPU probes show 2
     # sweeps already at the df32 floor — tools/sweep_probe.py)

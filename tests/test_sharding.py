@@ -108,3 +108,25 @@ def test_sharded_matches_single_device(shard_geometry):
             assert np.abs(np.asarray(wn)[sel] - NW_ref[pos]).max() < 1e-11
         checked += int(sel.sum())
     assert checked > 0
+
+
+@needs_8
+@pytest.mark.parametrize("method", ["gls", "idw", "ls"])
+def test_public_api_shard_geometry_matches(method):
+    """Interpolator(mesh=8, shard_geometry=True): every grid array is
+    PARTITIONED across the mesh (HBM scaling — dim 0, padded to the
+    mesh size) and the kernels run under GSPMD auto-partitioning with
+    XLA-inserted stencil-gather collectives.  Must match the
+    single-device result through the public interpolate() (VERDICT r3
+    #7: claim and public API must agree)."""
+    case = ALHCase()
+    case.assign_mesh_properties(meshgen.tetra_mesh(4), seed=0)
+    single = Interpolator()
+    single.load_mesh(mesh_obj=case.mesh)
+    sharded = Interpolator(mesh=8, shard_geometry=True)
+    sharded.load_mesh(mesh_obj=case.mesh)
+
+    W1, N1 = single.interpolate(case.name, method)
+    W8, N8 = sharded.interpolate(case.name, method)
+    assert np.abs((W1 - W8).toarray()).max() < 1e-11
+    assert np.abs(N1 - N8).max() < 1e-11
