@@ -276,9 +276,17 @@ class DeviceGrid:
             # quantum instead padded tiny CPU-test meshes 27 -> 8192
             # nodes (70 s/call, suite-breaking).
             n_full = len(p) // csize
+            q = max(batch_align, csize // 4)
+            if n_full % 2 == 1 and csize > q:
+                # keep the full-chunk count EVEN: even counts decompose
+                # exactly over the {16,8,4,2} scan ladder, so the big-B
+                # stacks never need dummy-chunk padding (a dummy full
+                # chunk costs ~40 ms of device compute per run at tetra
+                # scale); the demoted chunk's nodes flow into the
+                # quantum class, whose chunks are 4x cheaper to pad
+                n_full -= 1
             plan = [(csize, csize)] * n_full
             rem = len(p) - n_full * csize
-            q = max(batch_align, csize // 4)
             while rem >= q:
                 plan.append((q, q))
                 rem -= q
@@ -424,13 +432,15 @@ def build_scan_units(all_buckets, extra_keys=()):
     repeat prepares over the same cached plan re-use the uploads.
 
     Groups SNAP UP to the ladder with all-invalid dummy chunks when the
-    padding is cheap (<= max(1, r//3) dummies): a dummy chunk costs one
-    kernel body (tens of ms on device) while a distinct program shape
-    costs ~10 s of executable load through this environment's remote
-    helper — so lone chunks ride an S=2 stack rather than keeping a
-    separate single-dispatch program alive.  ``extra_keys`` join the
-    class key (and are stamped onto the megabucket), e.g. GLS's
-    with_neumann."""
+    padding is cheap (dummy work capped at 12288 padded nodes ~ 30 ms of
+    device compute): a distinct program shape costs ~10 s of executable
+    load through this environment's remote helper even fully cached, so
+    lone small chunks ride an S=2 stack rather than keeping a
+    single-dispatch program alive — but a dummy FULL chunk would cost
+    ~40 ms on every run, so big-B odd tails stay singles (the chunk
+    planner keeps full-chunk counts even precisely to avoid that).
+    ``extra_keys`` join the class key (and are stamped onto the
+    megabucket), e.g. GLS's with_neumann."""
     from collections import defaultdict
     by_cls = defaultdict(list)
     for b in all_buckets:
@@ -444,10 +454,14 @@ def build_scan_units(all_buckets, extra_keys=()):
             r = len(bs) - i
             s_up = next((s for s in reversed(_SCAN_LADDER) if s >= r),
                         None)
-            if s_up is not None and s_up - r <= max(1, r // 3):
+            if s_up is not None and (s_up - r) * B <= 12288:
                 S = s_up
-            else:
+            elif r >= _SCAN_LADDER[-1]:
                 S = next(s for s in _SCAN_LADDER if s <= r)
+            else:
+                units.append(("single", bs[i]))
+                i += 1
+                continue
             grp = list(bs[i:i + min(S, r)])
             i += min(S, r)
             proto = grp[0]
