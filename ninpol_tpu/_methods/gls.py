@@ -716,6 +716,46 @@ def _consolidate_device(parts, pos_flat, rns, *, tol, ncols_out,
     return wdev, rndev, jnp.sum(~(rndev <= tol))
 
 
+@partial(jax.jit, static_argnames=("plan_sig", "kern_sig", "tol",
+                                   "ncols_out", "n_target"))
+def _run_plan_device(nodes_list, valid_list, esup2d, esup_cnt, fsup2d,
+                     fsup_cnt, point_pack, cell_pack, face_pack,
+                     neumann_flag, pos_flat, *, plan_sig, kern_sig, tol,
+                     ncols_out, n_target):
+    """ONE program for the WHOLE non-exact device_out bucket plan: every
+    scan unit's kernels AND the output consolidation (the inner jitted
+    wrappers inline).  Every dispatch boundary through this
+    environment's remote helper leaves the device idle ~30-70 ms
+    (relay-day dependent): at 1.9M tets the 5-dispatch plan spent
+    ~0.3 s of its 1.16 s device-complete time between programs.
+    Keyed by the full plan signature — plan_sig is a tuple of
+    (E, F, S, B, with_neumann) per unit, kern_sig the shared kernel
+    statics.  OPT-IN via NINPOL_TPU_MEGA=1 — measured SLOWER than
+    per-unit dispatch on this environment's helper (1.275 vs 1.161 s
+    device-complete at 1.9M tets: the post-scan-stacking dispatch
+    boundaries pipeline well, so the fusion only added copies)."""
+    n_refine, neumann_compat, solver, fused, rounds = kern_sig
+    parts, rns = [], []
+    for (E, F, S, B, wneu), ns, vs in zip(plan_sig, nodes_list,
+                                          valid_list):
+        kw = dict(E=E, F=F, n_refine=n_refine, exact=False,
+                  neumann_compat=neumann_compat, with_neumann=wneu,
+                  solver=solver, fused=fused, rounds=rounds)
+        if S == 1:
+            w, wn, rn = _gls_bucket_impl(
+                ns, vs, esup2d, esup_cnt, fsup2d, fsup_cnt,
+                point_pack, cell_pack, face_pack, neumann_flag, **kw)
+        else:
+            w, wn, rn = _gls_bucket_scan(
+                ns, vs, esup2d, esup_cnt, fsup2d, fsup_cnt,
+                point_pack, cell_pack, face_pack, neumann_flag, **kw)
+        parts.append((w, wn))
+        rns.append(rn)
+    return _consolidate_device(tuple(parts), pos_flat, tuple(rns),
+                               tol=tol, ncols_out=ncols_out,
+                               n_target=n_target)
+
+
 @partial(jax.jit, static_argnames=("ncols_out", "delivery_f32"))
 def _concat_group(parts, *, ncols_out, delivery_f32):
     """Host-delivery path: pad + concatenate one fetch group's bucket
@@ -1057,9 +1097,52 @@ class GLSInterpolation:
         # dropped full-size consolidation run plus transient HBM).
         tol_f = float(self.fallback_tol
                       if self.fallback_tol is not None else 0.0)
+        # device_out whole-plan-as-ONE-program path (solve scans +
+        # consolidation fused).  MEASURED SLOWER on hardware and OFF by
+        # default (opt-in NINPOL_TPU_MEGA=1): 1.275 s vs 1.161 s
+        # device-complete at 1.9M tets — after scan stacking, the
+        # remaining 4-5 dispatch boundaries cost little (the enqueues
+        # pipeline), so fusing only added XLA copies, while the fused
+        # program also loses the host path's fetch/compute overlap.
+        # Kept because it is the right shape for environments whose
+        # per-dispatch gaps ARE large (the kill-switch polarity can
+        # flip if a future helper regresses).
+        use_mega = (mesh is None and not self.exact and device_out
+                    and _os.environ.get("NINPOL_TPU_NO_SCAN") != "1"
+                    and _os.environ.get("NINPOL_TPU_MEGA") == "1")
+        if use_mega:
+            from .device_grid import bucket_dev as _bdev
+            plan_sig, nl, vl = [], [], []
+            for kind, p in units:
+                if kind == "scan":
+                    plan_sig.append((p["E"], p["F"], p["S"],
+                                     len(p["pos"]) // p["S"],
+                                     p["with_neumann"]))
+                    nl.append(p["nodes_sd"])
+                    vl.append(p["valid_sd"])
+                else:
+                    nd, vd = _bdev(p)
+                    plan_sig.append((p["E"], p["F"], 1, len(p["pos"]),
+                                     p["with_neumann"]))
+                    nl.append(nd)
+                    vl.append(vd)
+            pos_flat = jnp.asarray(np.concatenate(
+                [np.where(p["pos"] >= 0, p["pos"], n_target)
+                 for _, p in units])
+                if units else np.zeros(0, np.int64))
+            wdev, rndev, n_bad_dev = _run_plan_device(
+                tuple(nl), tuple(vl),
+                dgrid.esup2d, dgrid.esup_cnt, dgrid.fsup2d,
+                dgrid.fsup_cnt, dgrid.point_pack, dgrid.cell_pack,
+                *face_dev, pos_flat,
+                plan_sig=tuple(plan_sig),
+                kern_sig=(self.n_refine, self.neumann_compat, solver,
+                          fused_ok, self.precond_rounds),
+                tol=tol_f, ncols_out=ncols_out, n_target=n_target)
+            _mark("mega_dispatch")
         preloaded = {}
         payloads = [u[1] for u in units]
-        if mesh is None and units:
+        if mesh is None and units and not use_mega:
             first_of = {}
             for u in units:
                 first_of.setdefault(unit_sig(u), u)
@@ -1110,23 +1193,26 @@ class GLSInterpolation:
         _mark("preload")
 
         launched = []
-        for unit in units:
-            res = preloaded.pop(id(unit[1]), None)
-            w, wn, rnorm = (res if res is not None
-                            else run_unit(unit, self.exact))
-            launched.append((unit[1], w, wn, rnorm))
-        _mark("dispatch")
+        if not use_mega:
+            for unit in units:
+                res = preloaded.pop(id(unit[1]), None)
+                w, wn, rnorm = (res if res is not None
+                                else run_unit(unit, self.exact))
+                launched.append((unit[1], w, wn, rnorm))
+            _mark("dispatch")
 
-        # all padding positions route out of bounds and drop (negative
-        # indices would WRAP in jnp); ONE consolidated device upload for
-        # every bucket's positions (each small transfer costs ~70 ms of
-        # relay latency)
-        pos_flat = jnp.asarray(np.concatenate(
-            [np.where(b["pos"] >= 0, b["pos"], n_target)
-             for b, _, _, _ in launched])
-            if launched else np.zeros(0, np.int64))
-        rns = tuple(r for _, _, _, r in launched)
-        if device_out:
+            # all padding positions route out of bounds and drop
+            # (negative indices would WRAP in jnp); ONE consolidated
+            # device upload for every bucket's positions (each small
+            # transfer costs ~70 ms of relay latency)
+            pos_flat = jnp.asarray(np.concatenate(
+                [np.where(b["pos"] >= 0, b["pos"], n_target)
+                 for b, _, _, _ in launched])
+                if launched else np.zeros(0, np.int64))
+            rns = tuple(r for _, _, _, r in launched)
+        if use_mega:
+            pass                      # wdev/rndev/n_bad_dev already set
+        elif device_out:
             wdev, rndev, n_bad_dev = _consolidate_device(
                 tuple((w, wn) for _, w, wn, _ in launched),
                 pos_flat, rns, tol=tol_f, ncols_out=ncols_out,

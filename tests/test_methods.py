@@ -256,3 +256,20 @@ def test_scan_kill_switch(monkeypatch):
     assert not seen                     # _build_scan_units never called
     np.testing.assert_array_equal(W0, W1)
     np.testing.assert_array_equal(N0, N1)
+
+
+def test_mega_plan_device_out_bit_equal(monkeypatch):
+    """The single-program device_out plan (gls._run_plan_device — every
+    scan unit + the consolidation fused into ONE executable, opt-in via
+    NINPOL_TPU_MEGA=1; default stays per-unit dispatch, which measured
+    FASTER on hardware) must give bit-identical results to the per-unit
+    dispatch path."""
+    case, interp = setup_case("hexa", 10)
+    tp = np.arange(interp.grid.n_points)
+    monkeypatch.setenv("NINPOL_TPU_MEGA", "1")
+    wd_mega = np.asarray(interp.prepare_interpolator(
+        "gls", case.name, tp, device_out=True))
+    monkeypatch.delenv("NINPOL_TPU_MEGA")
+    wd_plain = np.asarray(interp.prepare_interpolator(
+        "gls", case.name, tp, device_out=True))
+    np.testing.assert_array_equal(wd_mega, wd_plain)
