@@ -548,6 +548,26 @@ def dispatch_units_with_preload(units, run_unit, n_target, ncols_out,
     return out
 
 
+def plan_pos_flat(payloads, n_target):
+    """Device-resident concatenation of a plan's padded positions
+    (pos < 0 routed to n_target so scatters drop them), CACHED on the
+    plan's first payload dict.  Payload dicts persist in the DeviceGrid
+    plan cache / scan-unit cache, so repeat prepares skip the
+    re-upload — pos_flat is n_target int64s, ~17 MB at 2.1M points,
+    ~0.5 s per call through this environment's ~25-60 MB/s relay, and
+    it sits INSIDE the timed device-complete path."""
+    first = payloads[0]
+    key = (int(n_target), tuple(len(p["pos"]) for p in payloads))
+    cache = first.setdefault("_pos_flat", {})
+    pf = cache.get(key)
+    if pf is None:
+        pf = jnp.asarray(np.concatenate(
+            [np.where(p["pos"] >= 0, p["pos"], n_target)
+             for p in payloads]))
+        cache[key] = pf
+    return pf
+
+
 def deliver_weights(launched, weights, neumann_ws, n_target, device_out,
                     delivery_f32=False):
     """Shared IDW/LS result delivery.
@@ -564,9 +584,7 @@ def deliver_weights(launched, weights, neumann_ws, n_target, device_out,
     if device_out:
         if not launched:
             return jnp.zeros((n_target, ncols_out + 1), jnp.float64)
-        pos_flat = jnp.asarray(np.concatenate(
-            [np.where(b["pos"] >= 0, b["pos"], n_target)
-             for b, _ in launched]))
+        pos_flat = plan_pos_flat([b for b, _ in launched], n_target)
         return _deliver_device_j(tuple(w for _, w in launched),
                                  pos_flat, n_target=n_target,
                                  ncols_out=ncols_out)

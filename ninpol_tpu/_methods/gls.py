@@ -1126,10 +1126,9 @@ class GLSInterpolation:
                                      p["with_neumann"]))
                     nl.append(nd)
                     vl.append(vd)
-            pos_flat = jnp.asarray(np.concatenate(
-                [np.where(p["pos"] >= 0, p["pos"], n_target)
-                 for _, p in units])
-                if units else np.zeros(0, np.int64))
+            from .device_grid import plan_pos_flat as _ppf
+            pos_flat = (_ppf([p for _, p in units], n_target) if units
+                        else jnp.asarray(np.zeros(0, np.int64)))
             wdev, rndev, n_bad_dev = _run_plan_device(
                 tuple(nl), tuple(vl),
                 dgrid.esup2d, dgrid.esup_cnt, dgrid.fsup2d,
@@ -1202,13 +1201,12 @@ class GLSInterpolation:
             _mark("dispatch")
 
             # all padding positions route out of bounds and drop
-            # (negative indices would WRAP in jnp); ONE consolidated
-            # device upload for every bucket's positions (each small
-            # transfer costs ~70 ms of relay latency)
-            pos_flat = jnp.asarray(np.concatenate(
-                [np.where(b["pos"] >= 0, b["pos"], n_target)
-                 for b, _, _, _ in launched])
-                if launched else np.zeros(0, np.int64))
+            # (negative indices would WRAP in jnp); ONE consolidated,
+            # plan-cached device array for every bucket's positions
+            # (the ~2.6 MB re-upload sat inside the timed path)
+            from .device_grid import plan_pos_flat as _ppf
+            pos_flat = (_ppf([b for b, _, _, _ in launched], n_target)
+                        if launched else jnp.asarray(np.zeros(0, np.int64)))
             rns = tuple(r for _, _, _, r in launched)
         if use_mega:
             pass                      # wdev/rndev/n_bad_dev already set
