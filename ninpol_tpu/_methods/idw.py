@@ -73,6 +73,75 @@ def _idw_bucket_scan(nodes_s, valid_s, esup2d, esup_cnt,
     return w.reshape(S * B, w.shape[2])
 
 
+# The fused device_out plan for the simple (IDW/LS) kernels: every scan
+# unit AND the delivery consolidation in ONE program.  Unlike GLS
+# (whose long kernel bodies hide the helper's enqueue latency — its
+# fused plan measured SLOWER and stays opt-in), the simple kernels run
+# ~0.16 s for 2.1M nodes while each dispatch boundary costs ~30-70 ms
+# through this environment's remote helper: the per-unit path spent
+# ~70% of hexa-scale device time idling between programs
+# (tools/idw_math_probe.py has the kernel-only floor).
+def _simple_impl(name):
+    if name == "idw":
+        return _idw_bucket_impl
+    from .ls import _ls_bucket_impl
+    return _ls_bucket_impl
+
+
+@partial(jax.jit, static_argnames=("impl_name", "plan_sig", "statics",
+                                   "n_target", "ncols_out"))
+def _run_simple_plan_device(nodes_list, valid_list, esup2d, esup_cnt,
+                            point_pack, cell_pack, pos_flat, *,
+                            impl_name, plan_sig, statics, n_target,
+                            ncols_out):
+    from .device_grid import _deliver_device_j
+    impl = _simple_impl(impl_name)
+    rows = []
+    for (E, S, B), ns, vs in zip(plan_sig, nodes_list, valid_list):
+        kw = dict(statics)
+        kw["E"] = E
+        if S == 1:
+            w = impl(ns, vs, esup2d, esup_cnt, point_pack, cell_pack,
+                     **kw)
+        else:
+            def body(c, nv, kw=kw):
+                return c, impl(nv[0], nv[1], esup2d, esup_cnt,
+                               point_pack, cell_pack, **kw)
+            _, w = jax.lax.scan(body, 0, (ns, vs))
+            w = w.reshape(S * B, w.shape[2])
+        rows.append(w)
+    return _deliver_device_j(tuple(rows), pos_flat, n_target=n_target,
+                             ncols_out=ncols_out)
+
+
+def run_simple_device_plan(units, dgrid, impl_name, statics, n_target,
+                           ncols_out):
+    """device_out driver for the fused simple plan (shared by IDW/LS).
+    Returns the consolidated (n_target, ncols_out + 1) float64 device
+    array, or None when the fused path does not apply (empty plan)."""
+    import jax.numpy as _jnp
+    from .device_grid import bucket_dev, plan_pos_flat
+    if not units:
+        return _jnp.zeros((n_target, ncols_out + 1), _jnp.float64)
+    plan_sig, nl, vl = [], [], []
+    for kind, p in units:
+        if kind == "scan":
+            plan_sig.append((p["E"], p["S"], len(p["pos"]) // p["S"]))
+            nl.append(p["nodes_sd"])
+            vl.append(p["valid_sd"])
+        else:
+            nd, vd = bucket_dev(p)
+            plan_sig.append((p["E"], 1, len(p["pos"])))
+            nl.append(nd)
+            vl.append(vd)
+    pos_flat = plan_pos_flat([p for _, p in units], n_target)
+    return _run_simple_plan_device(
+        tuple(nl), tuple(vl), dgrid.esup2d, dgrid.esup_cnt,
+        dgrid.point_pack, dgrid.cell_pack, pos_flat,
+        impl_name=impl_name, plan_sig=tuple(plan_sig), statics=statics,
+        n_target=n_target, ncols_out=ncols_out)
+
+
 def shard_nodes(mesh, bucket):
     """(nodes, valid) device_put with the node axis partitioned over the
     mesh — the geometry-sharded (GSPMD) path's bucket placement."""
@@ -110,6 +179,9 @@ class IDWInterpolation:
         # cost of ~1e-7 relative weight rounding.  Set through
         # Interpolator.delivery_f32.
         self.delivery_f32 = False
+        # node-chunk quantum (tests shrink it to force multi-chunk
+        # plans; see gls.chunk_nodes for the GLS analogue)
+        self.chunk_nodes = 131072
 
     def prepare(self, dgrid, cells_data, points_data, faces_data,
                 variable_to_index, variable, target_points,
@@ -128,7 +200,8 @@ class IDWInterpolation:
         mesh = getattr(dgrid, "mesh", None)
         balign = 256 if mesh is None else max(256, 128 * mesh.devices.size)
         buckets = dgrid.buckets(target_points, active, need_faces=False,
-                                chunk_size=131072, batch_align=balign)
+                                chunk_size=self.chunk_nodes,
+                                batch_align=balign)
 
         shard_geo = getattr(dgrid, "shard_geometry", False)
 
@@ -167,6 +240,12 @@ class IDWInterpolation:
             units = (build_scan_units(buckets)
                      if _os.environ.get("NINPOL_TPU_NO_SCAN") != "1"
                      else [("single", b) for b in buckets])
+            if device_out:
+                # whole plan + delivery in ONE program (see
+                # _run_simple_plan_device)
+                return run_simple_device_plan(
+                    units, dgrid, "idw", (("dim", grid.dim),),
+                    len(target_points), weights.shape[1])
             launched = dispatch_units_with_preload(
                 units, run_unit, len(target_points), weights.shape[1],
                 device_out, self.delivery_f32)

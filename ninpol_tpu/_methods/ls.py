@@ -117,8 +117,9 @@ class LSInterpolation:
 
     def __init__(self, logging=False):
         self.logging = logging
-        # see IDWInterpolation.delivery_f32
+        # see IDWInterpolation.delivery_f32 / chunk_nodes
         self.delivery_f32 = False
+        self.chunk_nodes = 131072
 
     def prepare(self, dgrid, cells_data, points_data, faces_data,
                 variable_to_index, variable, target_points,
@@ -137,7 +138,8 @@ class LSInterpolation:
         mesh = getattr(dgrid, "mesh", None)
         balign = 256 if mesh is None else max(256, 128 * mesh.devices.size)
         buckets = dgrid.buckets(target_points, active, need_faces=False,
-                                chunk_size=131072, batch_align=balign)
+                                chunk_size=self.chunk_nodes,
+                                batch_align=balign)
 
         shard_geo = getattr(dgrid, "shard_geometry", False)
 
@@ -174,6 +176,13 @@ class LSInterpolation:
             units = (build_scan_units(buckets)
                      if _os.environ.get("NINPOL_TPU_NO_SCAN") != "1"
                      else [("single", b) for b in buckets])
+            if device_out:
+                # whole plan + delivery in ONE program (see
+                # idw._run_simple_plan_device)
+                from .idw import run_simple_device_plan
+                return run_simple_device_plan(
+                    units, dgrid, "ls", (), len(target_points),
+                    weights.shape[1])
             launched = dispatch_units_with_preload(
                 units, run_unit, len(target_points), weights.shape[1],
                 device_out, self.delivery_f32)

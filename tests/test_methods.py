@@ -258,6 +258,46 @@ def test_scan_kill_switch(monkeypatch):
     np.testing.assert_array_equal(N0, N1)
 
 
+def test_simple_fused_device_plan_bit_equal():
+    """IDW/LS device_out runs the WHOLE bucket plan + delivery as ONE
+    program (idw._run_simple_plan_device — unlike GLS, the simple
+    kernels are shorter than the helper's enqueue latency, so fusing
+    wins).  On a forced multi-chunk plan with scan stacks, it must be
+    bit-identical to the per-unit host delivery."""
+    from ninpol_tpu._methods import device_grid as dg
+
+    case, interp = setup_case("hexa", 10)   # 1331 points
+    tp = np.arange(interp.grid.n_points)
+
+    seen = []
+    orig_units = dg.build_scan_units
+
+    def spy(buckets, extra_keys=()):
+        units = orig_units(buckets, extra_keys)
+        seen.extend(k for k, _ in units)
+        return units
+
+    dg.build_scan_units = spy
+    try:
+        for m in ("idw", "ls"):
+            drv = getattr(interp, m)
+            orig_chunk = drv.chunk_nodes
+            try:
+                drv.chunk_nodes = 256
+                interp._prep_cache.clear()
+                seen.clear()
+                W, _ = interp.prepare_interpolator(m, case.name, tp)
+                wd = np.asarray(interp.prepare_interpolator(
+                    m, case.name, tp, device_out=True))
+            finally:
+                drv.chunk_nodes = orig_chunk
+            assert "scan" in seen, m
+            assert np.abs(wd[:, :W.shape[1]] - W).max() == 0.0, m
+            assert np.abs(wd[:, W.shape[1]:]).max() == 0.0, m
+    finally:
+        dg.build_scan_units = orig_units
+
+
 def test_mega_plan_device_out_bit_equal(monkeypatch):
     """The single-program device_out plan (gls._run_plan_device — every
     scan unit + the consolidation fused into ONE executable, opt-in via

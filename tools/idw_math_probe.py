@@ -93,7 +93,7 @@ def main():
         def body(c, nv):
             return c, _idw_f32(nv[0], nv[1], *args, E=E, dim=dim)
         _, w = jax.lax.scan(body, 0, (nodes_s, valid_s))
-        return w.reshape(S * B, E)
+        return w.reshape(-1, E)
 
     timeit("idw f32 floor", lambda: scan_f32(
         nodes_s, valid_s, esup2d, esup_cnt, point_pack, cell_pack,
@@ -139,7 +139,7 @@ def main():
         def body(c, nv):
             return c, _idw_df32(nv[0], nv[1], *args, E=E, dim=dim)
         _, w = jax.lax.scan(body, 0, (nodes_s, valid_s))
-        return w.reshape(S * B, E)
+        return w.reshape(-1, E)
 
     timeit("idw df32 candidate", lambda: scan_df32(
         nodes_s, valid_s, esup2d, esup_cnt, point_pack, cell_pack,
