@@ -152,10 +152,19 @@ CHOL_SUP = 32
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _chol_panels(gscr, n_pad, tiny, lt_scr=None, sup=CHOL_SUP):
+def _chol_panels(gscr, n_pad, tiny, lt_scr=None, sup=CHOL_SUP, tri=False):
     """Blocked Cholesky of G stored by COLUMN planes: gscr[c, r, :] =
     G[r, c] on entry, L[r, c] on exit (entries above the diagonal are
     garbage).
+
+    ``tri=True`` (production, exclusive with lt_scr) restricts every
+    pass to the lower triangle at 8-row granularity — the panel columns
+    start at their own diagonal block and the trailing update walks
+    8-column panels each updating only rows >= its diagonal — cutting
+    the VPU flops ~2x while keeping every slice sublane-aligned
+    (A/B: tools/chol_tri_probe.py).  Bitwise identical to tri=False on
+    the lower triangle: the skipped work only ever touched
+    above-diagonal garbage.
 
     With ``lt_scr`` (a (NT, n_pad, n_pad) VMEM ref), the factorization
     is LEFT-LOOKING at ``sup``-wide super-panels: all prior super-panels
@@ -173,6 +182,33 @@ def _chol_panels(gscr, n_pad, tiny, lt_scr=None, sup=CHOL_SUP):
     IS diag(L^{-1}), used for breakdown detection (a clamped pivot shows
     up as dinv ~ 1/sqrt(tiny)) and by the row solver."""
     dinvs = []
+    if tri:
+        assert lt_scr is None
+        for k0 in range(0, n_pad, 8):
+            # panel columns carry only their rows >= k0 (local row r-k0)
+            pan = gscr[k0:k0 + 8, k0:, :]              # (8, n_pad-k0, NT)
+            cols = []
+            for c in range(8):
+                colc = pan[c]                          # (n_pad-k0, NT)
+                for p in range(c):
+                    lkp = cols[p][c, :]                # L[k0+c, k0+p]
+                    colc = colc - cols[p] * lkp[None, :]
+                piv = colc[c, :]
+                dinv = jax.lax.rsqrt(jnp.maximum(piv, _F32(tiny)))
+                colc = colc * dinv[None, :]
+                dinvs.append(dinv)
+                cols.append(colc)
+                gscr[k0 + c, k0:, :] = colc
+            # trailing update, one 8-column panel at a time, each only
+            # from its own diagonal block down
+            for j0 in range(k0 + 8, n_pad, 8):
+                tr = gscr[j0:j0 + 8, j0:, :]           # (8, n_pad-j0, NT)
+                for c in range(8):
+                    tc = cols[c][j0 - k0:j0 - k0 + 8, :]
+                    trr = cols[c][j0 - k0:, :]
+                    tr = tr - tc[:, None, :] * trr[None, :, :]
+                gscr[j0:j0 + 8, j0:, :] = tr
+        return dinvs
     for k0 in range(0, n_pad, 8):
         ks = (k0 // sup) * sup if lt_scr is not None else 0
         if lt_scr is not None and k0 == ks and k0 > 0:
@@ -227,7 +263,7 @@ def _chol_panels(gscr, n_pad, tiny, lt_scr=None, sup=CHOL_SUP):
 
 
 def _linv_rows(gscr, li_scr, n_pad, dinvs, mul=None, limx_scr=None,
-               sup=CHOL_SUP):
+               sup=CHOL_SUP, tri=False):
     """li_scr[k] (ROW plane k) <- row k of L^{-1} (or of L^{-1} @ mul,
     with ``mul`` a value holding row planes).  Each 8-row block folds in
     prior blocks, then resolves the in-block couplings sequentially.  L
@@ -243,7 +279,37 @@ def _linv_rows(gscr, li_scr, n_pad, dinvs, mul=None, limx_scr=None,
     limx_scr the original all-VPU streamed fold runs.
 
     Rows are exactly zero right of the diagonal by construction (the
-    one-hot base and the triangular ``mul`` rows guarantee it)."""
+    one-hot base and the triangular ``mul`` rows guarantee it).
+
+    ``tri=True`` (production, exclusive with limx_scr) computes each
+    8-row block only on its live columns 0..k0+8 — the zero right-of-
+    diagonal tail is stored by one upfront zero fill instead of being
+    multiplied through every fold (A/B: tools/chol_tri_probe.py).
+    Bitwise identical output to tri=False."""
+    if tri:
+        assert limx_scr is None
+        li_scr[:, :, :] = jnp.zeros((n_pad, n_pad, NT), _F32)
+        for k0 in range(0, n_pad, 8):
+            w = k0 + 8                                 # live columns
+            acc = jnp.zeros((8, w, NT), _F32)
+            if k0 > 0:
+                lrB = gscr[0:k0, k0:k0 + 8, :]         # (k0, 8, NT)
+                for j in range(k0):
+                    acc = (acc + lrB[j][:, None, :]
+                           * li_scr[j, :w, :][None, :, :])
+            rows = []
+            for c in range(8):
+                k = k0 + c
+                base = (mul[k][:w] if mul is not None
+                        else _iota_eq((w, NT), 0, k))
+                s = acc[c]
+                for p in range(c):
+                    lkp = gscr[k0 + p, k, :]           # L[k, k0+p]
+                    s = s + rows[p] * lkp[None, :]
+                row = (base - s) * dinvs[k][None, :]
+                rows.append(row)
+                li_scr[k, :w, :] = row
+        return
     for k0 in range(0, n_pad, 8):
         ks = (k0 // sup) * sup if limx_scr is not None else 0
         acc = jnp.zeros((8, n_pad, NT), _F32)
