@@ -499,8 +499,11 @@ def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
     # Mosaic dispatch latency + cross-layout relayout, and the VPU form
     # is already near flop-bound.  The MXU-vs-VPU boundary is ~3 big
     # dots per pass (gram/Q win, the 5-10 small fold dots do not).
-    dinv1 = _chol_panels(g_scr, n_pad, tiny)
-    _linv_rows(g_scr, li_scr, n_pad, dinv1)
+    # tri=True (triangular-restricted passes) halves the VPU flops and
+    # measured 591 -> 301 ns/node for chol+linv on v5e, bitwise
+    # identical (tools/chol_tri_probe.py, round 4).
+    dinv1 = _chol_panels(g_scr, n_pad, tiny, tri=True)
+    _linv_rows(g_scr, li_scr, n_pad, dinv1, tri=True)
     li1 = li_scr[:]
     dmax = jnp.zeros((NT,), _F32)
     if rounds >= 2:
@@ -519,7 +522,7 @@ def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
         # _linv_rows pass (~n^3/2 VPU flops/node, the kernel's single
         # largest stage) for no flop savings in the 4 Mapply calls
         # (tools/trisolve_probe.py: solves win ~3x).
-        dinv2 = _chol_panels(g_scr, n_pad, tiny)
+        dinv2 = _chol_panels(g_scr, n_pad, tiny, tri=True)
         # strictly-below-diagonal L2, column planes, masked once:
         # lm[c, r, :] = L2[r, c] for r > c, else 0
         rgt = (jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
