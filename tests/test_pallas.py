@@ -131,6 +131,88 @@ def test_gls_fused_kernel_matches_oracle():
         gls_mod._FORCE_FUSED = old_f
 
 
+def test_pregather_tile_cache_tracks_variable_data():
+    """The fused path's stencil gathers are hoisted out of the solve
+    and cached per (grid, variable, plan) on the bucket-plan dicts
+    (gls.prepare gather_tiles).  The cache key is the face-cache key
+    (data version + variable), so new cell data MUST re-gather: stale
+    tiles would silently serve the OLD permeability's flux vectors.
+    Pin both directions: (a) changed data -> weights bit-equal to a
+    fresh interpolator on the same data, (b) the second prepare really
+    hit the tile cache (same tiles object on the plan dicts)."""
+    from ninpol_tpu.interpolator import Interpolator
+    from ninpol_tpu._methods import gls as gls_mod
+    from ninpol_tpu.ops import pallas_chol
+    from ninpol_tpu.utils import meshgen
+    from tests.utils.cases import ALHCase
+
+    def _scale_kxx(interp, s):
+        # anisotropic change (K_xx only): a UNIFORM K scaling could
+        # leave the LS solution invariant, which would mask staleness
+        pidx = interp.variable_to_index["cells"]["permeability"]
+        kview = interp.cells_data[pidx][
+            :interp.grid.n_elems * 9].reshape(-1, 9)
+        kview[:, 0] *= s
+        interp._data_version += 1
+        interp._prep_cache = {}
+
+    def fresh(scale):
+        case = ALHCase()
+        case.assign_mesh_properties(meshgen.tetra_mesh(2), seed=0)
+        interp = Interpolator()
+        interp.load_mesh(mesh_obj=case.mesh)
+        if scale != 1.0:
+            # same semantics as a load_data() reload: new payload,
+            # bumped version stamp, cleared result cache
+            _scale_kxx(interp, scale)
+        return interp, case.name
+
+    old_i, old_f = pallas_chol.INTERPRET, gls_mod._FORCE_FUSED
+    pallas_chol.INTERPRET = True
+    gls_mod._FORCE_FUSED = True
+    try:
+        interp, var = fresh(1.0)
+        tp = np.arange(interp.grid.n_points)
+        W1, _ = interp.prepare_interpolator("gls", var, tp)
+
+        def tile_cells(itp):
+            # tiles live on the unit payloads: scan megabuckets hang
+            # off their proto bucket's _scan_unit, singles on the
+            # bucket dict itself — both persist in the plan cache
+            out = []
+            for plan in itp.device_grid._plan_cache.values():
+                for b in plan:
+                    out.append(b.get("_tiles"))
+                    mb = b.get("_scan_unit")
+                    if mb is not None:
+                        out.append(mb.get("_tiles"))
+            return out
+
+        # repeat prepare on unchanged data must HIT the tile cache
+        interp._prep_cache = {}
+        tiles_before = tile_cells(interp)
+        W1b, _ = interp.prepare_interpolator("gls", var, tp)
+        tiles_after = tile_cells(interp)
+        assert any(t is not None for t in tiles_before), \
+            "pregather cache never populated — test premise broken"
+        for tb, ta in zip(tiles_before, tiles_after):
+            assert tb is ta, "tile cache missed on unchanged data"
+        np.testing.assert_array_equal(W1, W1b)
+
+        # changed permeability must MISS the cache and re-gather
+        _scale_kxx(interp, 3.0)
+        W2, _ = interp.prepare_interpolator("gls", var, tp)
+
+        ref2, _ = fresh(3.0)
+        W2ref, _ = ref2.prepare_interpolator("gls", var, tp)
+        np.testing.assert_array_equal(W2, W2ref)
+        assert np.abs(W1 - W2).max() > 0, \
+            "weights insensitive to permeability — test premise broken"
+    finally:
+        pallas_chol.INTERPRET = old_i
+        gls_mod._FORCE_FUSED = old_f
+
+
 def test_clamped_pivot_flags_both_rounds():
     """ADVICE r2 regression: breakdown detection must look at BOTH
     CholQR rounds' diagonals.  A clamped round-1 pivot shows up as
