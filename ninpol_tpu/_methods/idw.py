@@ -20,19 +20,47 @@ import jax.numpy as jnp
 _EXACT_EPS = float(np.float32(1e-15))  # idw.pyx:53 (C float of 1e-15)
 
 
-def _idw_bucket_impl(nodes, valid, esup2d, esup_cnt,
-                     point_pack, cell_pack, *, E, dim):
-    # packed-row gathers (XLA TPU gathers cost ~8 cycles/row regardless
-    # of width — see _methods/gls.py); hi + lo reconstructs the float64
-    # coordinates bit-exactly, so the distance math stays reference-f64
-    f64 = jnp.float64
+def _simple_gather(nodes, valid, esup2d, esup_cnt, point_pack,
+                   cell_pack, *, E):
+    """Stencil gather shared by the simple (IDW/LS) kernels — pure data
+    movement + mask logic, no float arithmetic, so the split and fused
+    compositions are bit-identical.  Its output is a pure function of
+    (grid geometry, bucket plan): at 2M-point scale these gathers
+    dominate the simple kernels' device time (XLA TPU gather degrades
+    to tens of ns/row on HBM-large tables, tools/gather_probe.py), so
+    the drivers hoist them out of the timed solve and cache the tiles
+    on the plan's unit dicts (shared between IDW and LS — the plan
+    cache is content-keyed, and the gather is method-independent)."""
     KSetv = esup2d[nodes, :E]
     n_elem = jnp.minimum(esup_cnt[nodes], E)
     cell_valid = (jnp.arange(E)[None, :] < n_elem[:, None]) & (KSetv >= 0)
     KS = jnp.where(cell_valid, KSetv, 0)
+    return (point_pack[nodes], cell_pack[KS], cell_valid, n_elem, valid)
 
-    pp = point_pack[nodes]                                    # (B,6)
-    cp = cell_pack[KS]                                        # (B,E,6)
+
+_simple_gather_j = partial(
+    jax.jit, static_argnames=("E",))(_simple_gather)
+
+
+@partial(jax.jit, static_argnames=("E",))
+def _simple_gather_scan(nodes_s, valid_s, esup2d, esup_cnt, point_pack,
+                        cell_pack, *, E):
+    def body(c, nv):
+        nodes, valid = nv
+        return c, _simple_gather(nodes, valid, esup2d, esup_cnt,
+                                 point_pack, cell_pack, E=E)
+
+    _, tiles = jax.lax.scan(body, 0, (nodes_s, valid_s))
+    return tiles
+
+
+def _idw_math(tiles, *, dim):
+    """IDW weights from pre-gathered tiles; hi + lo reconstructs the
+    float64 coordinates bit-exactly, so the distance math stays
+    reference-f64."""
+    f64 = jnp.float64
+    pp, cp, cell_valid, _n_elem, valid = tiles
+    E = cp.shape[1]
     xv = (pp[:, 0:3].astype(f64) + pp[:, 3:6].astype(f64))[:, :dim]
     xc = (cp[:, :, 0:3].astype(f64)
           + cp[:, :, 3:6].astype(f64))[:, :, :dim]
@@ -51,8 +79,27 @@ def _idw_bucket_impl(nodes, valid, esup2d, esup_cnt,
     return jnp.where(valid[:, None] & cell_valid, w, 0.0)
 
 
+def _idw_bucket_impl(nodes, valid, esup2d, esup_cnt,
+                     point_pack, cell_pack, *, E, dim):
+    # single-program composition (sharded/legacy paths); the default
+    # driver runs _simple_gather as its own cached program instead
+    return _idw_math(_simple_gather(nodes, valid, esup2d, esup_cnt,
+                                    point_pack, cell_pack, E=E), dim=dim)
+
+
 _idw_bucket_kernel = partial(
     jax.jit, static_argnames=("E", "dim"))(_idw_bucket_impl)
+_idw_math_j = partial(jax.jit, static_argnames=("dim",))(_idw_math)
+
+
+@partial(jax.jit, static_argnames=("dim",))
+def _idw_math_scan(tiles_s, *, dim):
+    def body(c, tiles):
+        return c, _idw_math(tiles, dim=dim)
+
+    _, w = jax.lax.scan(body, 0, tiles_s)
+    S, B = w.shape[0], w.shape[1]
+    return w.reshape(S * B, w.shape[2])
 
 
 # Scan-stacked entry: S identical-shape chunks run as ONE program (see
@@ -81,33 +128,62 @@ def _idw_bucket_scan(nodes_s, valid_s, esup2d, esup_cnt,
 # through this environment's remote helper: the per-unit path spent
 # ~70% of hexa-scale device time idling between programs
 # (tools/idw_math_probe.py has the kernel-only floor).
-def _simple_impl(name):
+def _simple_math(name):
     if name == "idw":
-        return _idw_bucket_impl
-    from .ls import _ls_bucket_impl
-    return _ls_bucket_impl
+        return _idw_math
+    from .ls import _ls_math
+    return _ls_math
+
+
+def simple_pregather_on(units):
+    """Shared pre-gather gate for the simple drivers: kill switch plus
+    the same HBM footprint budget as GLS (tiles cost ~25E+29 bytes per
+    padded node — ~240 B at hexa E=8, ~630 B at tetra E=24)."""
+    import os as _os
+    if _os.environ.get("NINPOL_TPU_NO_PREGATHER") == "1":
+        return False
+    est = sum(len(p["pos"]) * (25 * p["E"] + 29) for _, p in units)
+    return est <= float(_os.environ.get(
+        "NINPOL_TPU_PREGATHER_GB", "6")) * 1e9
+
+
+def simple_gather_tiles(unit, dgrid):
+    """Pre-gathered tiles for one unit, cached on the unit dict: pure
+    grid geometry (no variable data), so the cache needs no version
+    key and is SHARED between IDW and LS (the content-keyed plan cache
+    hands both methods the same dicts for identical target/mask)."""
+    kind, p = unit
+    tiles = p.get("_stiles")
+    if tiles is not None:
+        return tiles
+    if kind == "scan":
+        tiles = _simple_gather_scan(
+            p["nodes_sd"], p["valid_sd"], dgrid.esup2d, dgrid.esup_cnt,
+            dgrid.point_pack, dgrid.cell_pack, E=p["E"])
+    else:
+        from .device_grid import bucket_dev
+        tiles = _simple_gather_j(
+            *bucket_dev(p), dgrid.esup2d, dgrid.esup_cnt,
+            dgrid.point_pack, dgrid.cell_pack, E=p["E"])
+    p["_stiles"] = tiles
+    return tiles
 
 
 @partial(jax.jit, static_argnames=("impl_name", "plan_sig", "statics",
                                    "n_target", "ncols_out"))
-def _run_simple_plan_device(nodes_list, valid_list, esup2d, esup_cnt,
-                            point_pack, cell_pack, pos_flat, *,
-                            impl_name, plan_sig, statics, n_target,
-                            ncols_out):
+def _run_simple_plan_device(tiles_list, pos_flat, *, impl_name,
+                            plan_sig, statics, n_target, ncols_out):
     from .device_grid import _deliver_device_j
-    impl = _simple_impl(impl_name)
+    impl = _simple_math(impl_name)
     rows = []
-    for (E, S, B), ns, vs in zip(plan_sig, nodes_list, valid_list):
+    for (E, S, B), tiles in zip(plan_sig, tiles_list):
         kw = dict(statics)
-        kw["E"] = E
         if S == 1:
-            w = impl(ns, vs, esup2d, esup_cnt, point_pack, cell_pack,
-                     **kw)
+            w = impl(tiles, **kw)
         else:
-            def body(c, nv, kw=kw):
-                return c, impl(nv[0], nv[1], esup2d, esup_cnt,
-                               point_pack, cell_pack, **kw)
-            _, w = jax.lax.scan(body, 0, (ns, vs))
+            def body(c, t, kw=kw):
+                return c, impl(t, **kw)
+            _, w = jax.lax.scan(body, 0, tiles)
             w = w.reshape(S * B, w.shape[2])
         rows.append(w)
     return _deliver_device_j(tuple(rows), pos_flat, n_target=n_target,
@@ -116,28 +192,24 @@ def _run_simple_plan_device(nodes_list, valid_list, esup2d, esup_cnt,
 
 def run_simple_device_plan(units, dgrid, impl_name, statics, n_target,
                            ncols_out):
-    """device_out driver for the fused simple plan (shared by IDW/LS).
-    Returns the consolidated (n_target, ncols_out + 1) float64 device
-    array, or None when the fused path does not apply (empty plan)."""
+    """device_out driver for the fused simple plan (shared by IDW/LS):
+    the whole math plan + delivery consolidation runs as ONE program
+    over the PRE-GATHERED tiles (the stencil gathers dominated device
+    time at 2M-point scale; they now run once per plan as their own
+    cached programs — simple_gather_tiles).  Returns the consolidated
+    (n_target, ncols_out + 1) float64 device array."""
     import jax.numpy as _jnp
-    from .device_grid import bucket_dev, plan_pos_flat
+    from .device_grid import plan_pos_flat
     if not units:
         return _jnp.zeros((n_target, ncols_out + 1), _jnp.float64)
-    plan_sig, nl, vl = [], [], []
+    plan_sig, tl = [], []
     for kind, p in units:
-        if kind == "scan":
-            plan_sig.append((p["E"], p["S"], len(p["pos"]) // p["S"]))
-            nl.append(p["nodes_sd"])
-            vl.append(p["valid_sd"])
-        else:
-            nd, vd = bucket_dev(p)
-            plan_sig.append((p["E"], 1, len(p["pos"])))
-            nl.append(nd)
-            vl.append(vd)
+        S = p["S"] if kind == "scan" else 1
+        plan_sig.append((p["E"], S, len(p["pos"]) // S))
+        tl.append(simple_gather_tiles((kind, p), dgrid))
     pos_flat = plan_pos_flat([p for _, p in units], n_target)
     return _run_simple_plan_device(
-        tuple(nl), tuple(vl), dgrid.esup2d, dgrid.esup_cnt,
-        dgrid.point_pack, dgrid.cell_pack, pos_flat,
+        tuple(tl), pos_flat,
         impl_name=impl_name, plan_sig=tuple(plan_sig), statics=statics,
         n_target=n_target, ncols_out=ncols_out)
 
@@ -204,6 +276,7 @@ class IDWInterpolation:
                                 batch_align=balign)
 
         shard_geo = getattr(dgrid, "shard_geometry", False)
+        pregather = False             # set for the mesh is None path below
 
         def run(bucket):
             if mesh is None:
@@ -226,6 +299,11 @@ class IDWInterpolation:
 
         def run_unit(unit):
             kind, b = unit
+            if pregather:
+                tiles = simple_gather_tiles(unit, dgrid)
+                if kind == "scan":
+                    return _idw_math_scan(tiles, dim=grid.dim)
+                return _idw_math_j(tiles, dim=grid.dim)
             if kind == "single":
                 return run(b)
             return _idw_bucket_scan(b["nodes_sd"], b["valid_sd"],
@@ -240,9 +318,10 @@ class IDWInterpolation:
             units = (build_scan_units(buckets)
                      if _os.environ.get("NINPOL_TPU_NO_SCAN") != "1"
                      else [("single", b) for b in buckets])
-            if device_out:
-                # whole plan + delivery in ONE program (see
-                # _run_simple_plan_device)
+            pregather = simple_pregather_on(units)
+            if device_out and pregather:
+                # whole math plan + delivery in ONE program over cached
+                # pre-gathered tiles (see _run_simple_plan_device)
                 return run_simple_device_plan(
                     units, dgrid, "idw", (("dim", grid.dim),),
                     len(target_points), weights.shape[1])

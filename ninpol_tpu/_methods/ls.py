@@ -25,18 +25,11 @@ import jax
 import jax.numpy as jnp
 
 
-def _ls_bucket_impl(nodes, valid, esup2d, esup_cnt,
-                    point_pack, cell_pack, *, E):
-    # packed-row gathers; hi + lo reconstructs float64 bit-exactly
-    # (see _methods/idw.py)
+def _ls_math(tiles):
+    """LS weights from pre-gathered tiles (idw._simple_gather); hi + lo
+    reconstructs float64 bit-exactly (see _methods/idw.py)."""
     f64 = jnp.float64
-    KSetv = esup2d[nodes, :E]
-    n_elem = jnp.minimum(esup_cnt[nodes], E)
-    cell_valid = (jnp.arange(E)[None, :] < n_elem[:, None]) & (KSetv >= 0)
-    KS = jnp.where(cell_valid, KSetv, 0)
-
-    pp = point_pack[nodes]                                    # (B,6)
-    cp = cell_pack[KS]                                        # (B,E,6)
+    pp, cp, cell_valid, n_elem, valid = tiles
     xv = pp[:, 0:3].astype(f64) + pp[:, 3:6].astype(f64)      # (B,3)
     cen = cp[:, :, 0:3].astype(f64) + cp[:, :, 3:6].astype(f64)
     dv = jnp.where(cell_valid[:, :, None],
@@ -94,7 +87,27 @@ def _ls_bucket_impl(nodes, valid, esup2d, esup_cnt,
     return jnp.where(valid[:, None] & cell_valid, w, 0.0)
 
 
+def _ls_bucket_impl(nodes, valid, esup2d, esup_cnt,
+                    point_pack, cell_pack, *, E):
+    # single-program composition (sharded/legacy paths); the default
+    # driver runs the gather as its own cached program instead
+    from .idw import _simple_gather
+    return _ls_math(_simple_gather(nodes, valid, esup2d, esup_cnt,
+                                   point_pack, cell_pack, E=E))
+
+
 _ls_bucket_kernel = partial(jax.jit, static_argnames=("E",))(_ls_bucket_impl)
+_ls_math_j = jax.jit(_ls_math)
+
+
+@jax.jit
+def _ls_math_scan(tiles_s):
+    def body(c, tiles):
+        return c, _ls_math(tiles)
+
+    _, w = jax.lax.scan(body, 0, tiles_s)
+    S, B = w.shape[0], w.shape[1]
+    return w.reshape(S * B, w.shape[2])
 
 
 # Scan-stacked entry (see _methods/idw.py — kills the ~30 ms/dispatch
@@ -142,6 +155,7 @@ class LSInterpolation:
                                 batch_align=balign)
 
         shard_geo = getattr(dgrid, "shard_geometry", False)
+        pregather = False             # set for the mesh is None path below
 
         def run(bucket):
             if mesh is None:
@@ -162,6 +176,12 @@ class LSInterpolation:
 
         def run_unit(unit):
             kind, b = unit
+            if pregather:
+                from .idw import simple_gather_tiles
+                tiles = simple_gather_tiles(unit, dgrid)
+                if kind == "scan":
+                    return _ls_math_scan(tiles)
+                return _ls_math_j(tiles)
             if kind == "single":
                 return run(b)
             return _ls_bucket_scan(b["nodes_sd"], b["valid_sd"],
@@ -176,10 +196,11 @@ class LSInterpolation:
             units = (build_scan_units(buckets)
                      if _os.environ.get("NINPOL_TPU_NO_SCAN") != "1"
                      else [("single", b) for b in buckets])
-            if device_out:
-                # whole plan + delivery in ONE program (see
-                # idw._run_simple_plan_device)
-                from .idw import run_simple_device_plan
+            from .idw import run_simple_device_plan, simple_pregather_on
+            pregather = simple_pregather_on(units)
+            if device_out and pregather:
+                # whole math plan + delivery in ONE program over cached
+                # pre-gathered tiles (see idw._run_simple_plan_device)
                 return run_simple_device_plan(
                     units, dgrid, "ls", (), len(target_points),
                     weights.shape[1])

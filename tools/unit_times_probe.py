@@ -57,6 +57,17 @@ def main():
     orig_scan = gls_mod._gls_bucket_scan
     orig_single = gls_mod._gls_bucket_kernel
     orig_cons = gls_mod._consolidate_device
+    orig_tscan = gls_mod._gls_solve_tiles_scan
+    orig_tsingle = gls_mod._gls_solve_tiles_j
+    orig_gscan = gls_mod._gls_gather_scan
+    orig_gsingle = gls_mod._gls_gather_j
+
+    def tiles_shape(tiles):
+        # fp tile (G[,S], 28, F, NT): recover (S*)B and F
+        fp = tiles[2]
+        nt = fp.shape[-1]
+        g = fp.shape[0] * (fp.shape[1] if fp.ndim == 5 else 1)
+        return (g * nt, fp.shape[-2])
 
     gls_mod._gls_bucket_scan = record(
         lambda nodes_s, *a, **k: ("scan", tuple(nodes_s.shape),
@@ -68,6 +79,22 @@ def main():
                                 k.get("E"), k.get("F"),
                                 k.get("with_neumann"), k.get("exact")),
         orig_single, lambda r: np.asarray(r[2][-1:]))
+    gls_mod._gls_solve_tiles_scan = record(
+        lambda tiles, **k: ("solve_scan",) + tiles_shape(tiles)
+        + (k.get("with_neumann"),),
+        orig_tscan, lambda r: np.asarray(r[2][-1:]))
+    gls_mod._gls_solve_tiles_j = record(
+        lambda tiles, **k: ("solve_single",) + tiles_shape(tiles)
+        + (k.get("with_neumann"),),
+        orig_tsingle, lambda r: np.asarray(r[2][-1:]))
+    gls_mod._gls_gather_scan = record(
+        lambda ns, *a, **k: ("gather_scan", tuple(ns.shape),
+                             k.get("E"), k.get("F")),
+        orig_gscan, lambda r: np.asarray(r[0][-1:, -1:, -1:, -1:]))
+    gls_mod._gls_gather_j = record(
+        lambda nd, *a, **k: ("gather_single", tuple(nd.shape),
+                             k.get("E"), k.get("F")),
+        orig_gsingle, lambda r: np.asarray(r[0][-1:, -1:, -1:]))
     gls_mod._consolidate_device = record(
         lambda *a, **k: ("consolidate", k.get("n_target")),
         orig_cons, lambda r: np.asarray(r[0][-1:, -1:]))
@@ -79,6 +106,10 @@ def main():
         gls_mod._gls_bucket_scan = orig_scan
         gls_mod._gls_bucket_kernel = orig_single
         gls_mod._consolidate_device = orig_cons
+        gls_mod._gls_solve_tiles_scan = orig_tscan
+        gls_mod._gls_solve_tiles_j = orig_tsingle
+        gls_mod._gls_gather_scan = orig_gscan
+        gls_mod._gls_gather_j = orig_gsingle
 
     # dedupe (preload + launch loop may both call the first of a class)
     seen, replay = set(), []
