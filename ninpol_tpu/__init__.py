@@ -28,7 +28,11 @@ _cache_dir = _os.environ.get(
     _os.path.join(_tempfile.gettempdir(), "ninpol_tpu_jax_cache"))
 if _cache_dir != "0":
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # 0: persist EVERY compiled program.  The 0.5s default left ~20
+    # cheap consolidation programs out of the cache, so every fresh
+    # process re-compiled them through the remote helper (measured:
+    # 20 "fresh compiles" on a fully-warm second bench run).
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from .interpolator import Interpolator
 from ._grid.grid import Grid

@@ -436,9 +436,12 @@ class Interpolator:
                   self.gls.exact, self.gls.solver, self.gls.neumann_compat,
                   self.gls.n_refine, self.gls.fallback_tol,
                   self.gls.precond_rounds, self.delivery_f32,
-                  # the scan kill switch changes the dispatch path the
-                  # cached entries were computed through (ADVICE r3)
-                  _os.environ.get("NINPOL_TPU_NO_SCAN") == "1")
+                  # the scan/pre-gather kill switches change the dispatch
+                  # path the cached entries were computed through
+                  # (ADVICE r3) — both exist to dodge broken lowerings,
+                  # so a cached result from the other path defeats them
+                  _os.environ.get("NINPOL_TPU_NO_SCAN") == "1",
+                  _os.environ.get("NINPOL_TPU_NO_PREGATHER") == "1")
         if tp_key in self._prep_cache:
             weights, neumann_ws = self._prep_cache[tp_key]
         else:
