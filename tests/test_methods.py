@@ -258,6 +258,41 @@ def test_scan_kill_switch(monkeypatch):
     np.testing.assert_array_equal(N0, N1)
 
 
+def _simple_tiles(interp):
+    """Collect the IDW/LS pre-gather tile cells hanging off the plan
+    cache (singles carry _stiles on the bucket dict, scan megabuckets
+    on the proto bucket's _scan_unit)."""
+    out = []
+    for plan in interp.device_grid._plan_cache.values():
+        for b in plan:
+            out.append(b.get("_stiles"))
+            mb = b.get("_scan_unit")
+            if mb is not None:
+                out.append(mb.get("_stiles"))
+    return out
+
+
+def test_simple_pregather_kill_switch(monkeypatch):
+    """NINPOL_TPU_NO_PREGATHER=1 must fall back to in-program stencil
+    gathers for IDW/LS (hardware kill switch for gather-lowering
+    regressions) and stay bit-identical — the hoisted gather halves do
+    no float arithmetic (idw.simple_gather_tiles)."""
+    case, interp = setup_case("hexa", 10)
+    tp = np.arange(interp.grid.n_points)
+    W0 = {m: interp.prepare_interpolator(m, case.name, tp)[0]
+          for m in ("idw", "ls")}
+    assert any(t is not None for t in _simple_tiles(interp)), \
+        "pre-gather tiles never populated — test premise broken"
+
+    monkeypatch.setenv("NINPOL_TPU_NO_PREGATHER", "1")
+    case1, interp1 = setup_case("hexa", 10)   # fresh: no cached tiles
+    for m in ("idw", "ls"):
+        W1, _ = interp1.prepare_interpolator(m, case1.name, tp)
+        np.testing.assert_array_equal(W0[m], W1)
+    assert all(t is None for t in _simple_tiles(interp1)), \
+        "kill switch did not disable the pre-gather tile cache"
+
+
 def test_simple_fused_device_plan_bit_equal():
     """IDW/LS device_out runs the WHOLE bucket plan + delivery as ONE
     program (idw._run_simple_plan_device — unlike GLS, the simple

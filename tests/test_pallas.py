@@ -213,6 +213,56 @@ def test_pregather_tile_cache_tracks_variable_data():
         gls_mod._FORCE_FUSED = old_f
 
 
+def test_gls_pregather_kill_switch(monkeypatch):
+    """NINPOL_TPU_NO_PREGATHER=1 must fall back to in-kernel stencil
+    gathers on the fused GLS path and stay bit-identical — the hoisted
+    gather half does no float arithmetic (gls.prepare gather_tiles).
+    Runs the fused kernel in interpret mode like the tile-cache test."""
+    from ninpol_tpu.interpolator import Interpolator
+    from ninpol_tpu._methods import gls as gls_mod
+    from ninpol_tpu.ops import pallas_chol
+    from ninpol_tpu.utils import meshgen
+    from tests.utils.cases import ALHCase
+
+    def fresh():
+        case = ALHCase()
+        case.assign_mesh_properties(meshgen.tetra_mesh(2), seed=0)
+        interp = Interpolator()
+        interp.load_mesh(mesh_obj=case.mesh)
+        return interp, case.name
+
+    def tiles(itp):
+        out = []
+        for plan in itp.device_grid._plan_cache.values():
+            for b in plan:
+                out.append(b.get("_tiles"))
+                mb = b.get("_scan_unit")
+                if mb is not None:
+                    out.append(mb.get("_tiles"))
+        return out
+
+    old_i, old_f = pallas_chol.INTERPRET, gls_mod._FORCE_FUSED
+    pallas_chol.INTERPRET = True
+    gls_mod._FORCE_FUSED = True
+    try:
+        interp, var = fresh()
+        tp = np.arange(interp.grid.n_points)
+        W0, N0 = interp.prepare_interpolator("gls", var, tp)
+        assert any(t is not None for t in tiles(interp)), \
+            "pre-gather tiles never populated — test premise broken"
+
+        monkeypatch.setenv("NINPOL_TPU_NO_PREGATHER", "1")
+        interp1, var1 = fresh()               # fresh: no cached tiles
+        W1, N1 = interp1.prepare_interpolator("gls", var1, tp)
+        assert all(t is None for t in tiles(interp1)), \
+            "kill switch did not disable the pre-gather tile cache"
+        np.testing.assert_array_equal(W0, W1)
+        np.testing.assert_array_equal(N0, N1)
+    finally:
+        pallas_chol.INTERPRET = old_i
+        gls_mod._FORCE_FUSED = old_f
+
+
 def test_clamped_pivot_flags_both_rounds():
     """ADVICE r2 regression: breakdown detection must look at BOTH
     CholQR rounds' diagonals.  A clamped round-1 pivot shows up as
