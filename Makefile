@@ -19,6 +19,11 @@ native:
 test:
 	env PYTHONPATH= JAX_PLATFORMS=cpu $(PY) -m pytest tests/ -q
 
+# fast high-coverage subset (~2 min warm): oracle test per method,
+# topology/geometry invariants, one sharding test
+smoke:
+	env PYTHONPATH= JAX_PLATFORMS=cpu $(PY) -m pytest tests/ -q -m smoke
+
 bench:
 	$(PY) bench.py
 
@@ -30,4 +35,4 @@ clean:
 	rm -f ninpol_tpu/native/_ninpol_topology.so
 	find . -name __pycache__ -type d -exec rm -rf {} +
 
-.PHONY: all native test bench perf clean
+.PHONY: all native test smoke bench perf clean

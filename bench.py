@@ -175,9 +175,13 @@ def main():
     interp.prepare_interpolator("gls", "u", tp)
     warm = time.perf_counter() - t0
     n_new = cache_entries() - n_before
+    n_progs = getattr(interp.gls, "last_program_count", None)
     print(f"# warmup: {warm:.2f}s ({n_new} fresh compiles, "
           f"{n_before} cached executables available"
-          f"{' — fully warm' if n_new == 0 else ''})", file=sys.stderr)
+          f"{' — fully warm' if n_new == 0 else ''}; "
+          f"plan executables: {n_progs})", file=sys.stderr)
+    _partial.update(warmup_s=round(warm, 1), fresh_compiles=int(n_new),
+                    plan_programs=n_progs)
 
     # host-complete (the reference contract: weights in host memory)
     times = []
@@ -286,6 +290,9 @@ def main():
         "d2h_mb_s": round(mb / max(t_fetch, 1e-9), 1),
         "n_cells": int(n_cells),
         "n_points": int(n_points),
+        "warmup_s": round(warm, 1),
+        "fresh_compiles": int(n_new),
+        "plan_programs": n_progs,
     }
     print(json.dumps(result))
 

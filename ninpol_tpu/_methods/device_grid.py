@@ -502,6 +502,8 @@ def dispatch_units_with_preload(units, run_unit, n_target, ncols_out,
         return (kind, p["E"], p.get("F", 0), p.get("S", 1),
                 len(p["pos"]))
 
+    import os
+    gd = os.environ.get("NINPOL_TPU_GROUP_DELIVERY") == "1"
     preloaded = {}
     payloads = [u[1] for u in units]
     if units:
@@ -511,14 +513,14 @@ def dispatch_units_with_preload(units, run_unit, n_target, ncols_out,
         # program identity depends on the FULL unit shape sequence
         # (group composition), not just the distinct classes
         sig = ("deliver", tuple((p["E"], len(p["pos"])) for p in payloads),
-               n_target, ncols_out, device_out, bool(delivery_f32))
+               n_target, ncols_out, device_out, bool(delivery_f32), gd)
 
         def dummy_rows(ps):
             return tuple(jnp.zeros((len(p["pos"]), p["E"]), jnp.float64)
                          for p in ps)
 
         def preload_delivery():
-            if device_out:
+            if device_out or not gd:
                 pos = jnp.zeros((sum(len(p["pos"]) for p in payloads),),
                                 jnp.int64)
                 _deliver_device_j(dummy_rows(payloads), pos,
@@ -590,10 +592,28 @@ def deliver_weights(launched, weights, neumann_ws, n_target, device_out,
                                  ncols_out=ncols_out)
     if not launched:
         return weights, neumann_ws
-    # A few compact fetch groups (amortizes the ~70 ms per-transfer
-    # relay latency); group k+1's transfer runs on a helper thread (the
-    # relay fetch is IO-bound and releases the GIL) while the main
-    # thread scatters group k's rows into `weights`.
+    import os
+    if os.environ.get("NINPOL_TPU_GROUP_DELIVERY") != "1":
+        # Host delivery rides the SAME consolidation program as
+        # device_out (each distinct executable costs ~10 s of load
+        # through this environment's remote helper) and fetches in ONE
+        # transfer; values are bit-identical to the grouped path (same
+        # rows, same at[pos].set scatter the device_out tests pin).
+        pos_flat = plan_pos_flat([b for b, _ in launched], n_target)
+        wdev = _deliver_device_j(tuple(w for _, w in launched),
+                                 pos_flat, n_target=n_target,
+                                 ncols_out=ncols_out)
+        src = wdev.astype(jnp.float32) if delivery_f32 else wdev
+        host = np.asarray(src)
+        rows = np.concatenate(
+            [b["pos"][b["valid"]] for b, _ in launched])
+        weights[rows, :] = host[rows, :ncols_out]
+        return weights, neumann_ws
+    # Legacy grouped host delivery (NINPOL_TPU_GROUP_DELIVERY=1): a few
+    # compact fetch groups (amortizes the ~70 ms per-transfer relay
+    # latency); group k+1's transfer runs on a helper thread (the relay
+    # fetch is IO-bound and releases the GIL) while the main thread
+    # scatters group k's rows into `weights`.
     groups = group_plan(launched)
     cats = [_deliver_concat_j(tuple(w for _, w in grp),
                               delivery_f32=bool(delivery_f32),

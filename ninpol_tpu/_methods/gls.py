@@ -720,6 +720,43 @@ def _gls_gather_scan(nodes_s, valid_s, esup2d, esup_cnt, fsup2d,
     return tiles
 
 
+@partial(jax.jit, static_argnames=("plan_sig",))
+def _gls_gather_plan(nodes_list, valid_list, esup2d, esup_cnt, fsup2d,
+                     fsup_cnt, point_pack, cell_pack, face_pack,
+                     neumann_flag, *, plan_sig):
+    """ONE program gathering EVERY unit of a plan (gather + tile, no
+    float arithmetic — bit-identical to the per-unit programs by
+    construction).  Each distinct per-unit gather shape is otherwise
+    its own executable at ~10 s of load through this environment's
+    remote helper even fully cached; the gathers run once per (grid,
+    variable, plan) — the tile-cache contract — so merging them costs
+    nothing in the timed solve path.  Used on TPU only (the per-unit
+    programs ride the shape ladder across mesh scales, which keeps the
+    CPU suite's compile count bounded); NINPOL_TPU_MERGED_GATHER=1
+    forces it elsewhere, NINPOL_TPU_PER_UNIT_GATHER=1 disables it.
+
+    plan_sig: tuple of (E, F, S) per unit, S == 1 for single chunks
+    (then nodes/valid have no leading stack axis)."""
+    out = []
+    for nodes, valid, (E, F, S) in zip(nodes_list, valid_list, plan_sig):
+        if S == 1:
+            out.append(_gls_gather_fused(
+                nodes, valid, esup2d, esup_cnt, fsup2d, fsup_cnt,
+                point_pack, cell_pack, face_pack, neumann_flag,
+                E=E, F=F))
+        else:
+            def body(c, nv, E=E, F=F):
+                n, v = nv
+                return c, _gls_gather_fused(
+                    n, v, esup2d, esup_cnt, fsup2d, fsup_cnt,
+                    point_pack, cell_pack, face_pack, neumann_flag,
+                    E=E, F=F)
+
+            _, tiles = jax.lax.scan(body, 0, (nodes, valid))
+            out.append(tiles)
+    return tuple(out)
+
+
 @partial(jax.jit, static_argnames=("n_refine", "neumann_compat",
                                    "with_neumann", "rounds"))
 def _gls_solve_tiles_scan(tiles_s, *, n_refine, neumann_compat,
@@ -902,6 +939,65 @@ def precompute_face_data(grid, perm, diff_mag):
     return nL1g, nL2g, etag, nLbg
 
 
+def build_flux_block(grid, perm, diff_mag, neumann_val):
+    """The 16 float32 per-variable flux columns of the packed face row,
+    built host-side into ONE preallocated buffer (concatenating
+    per-piece temporaries peaked ~1 GB higher at 2M-cell scale).
+
+    Columns: [0:3]/[3:6] K@N side-1 hi/lo, [6:9]/[9:12] K@N side-2
+    hi/lo, [12]/[13] eta hi/lo, [14]/[15] per-face Neumann mean hi/lo
+    (f64 mean over the face's points, same semantics as the oracle /
+    gls.pyx:374-416 — packing it per FACE removes the per-face-POINT
+    scalar gathers from the Neumann-bucket kernels).
+    """
+    nL1g, nL2g, etag, _ = precompute_face_data(grid, perm, diff_mag)
+    flux = np.empty((grid.n_faces, 16), np.float32)
+
+    def sp_into(a, lo_col):
+        a = np.asarray(a, np.float64).reshape(grid.n_faces, -1)
+        h = a.astype(np.float32)
+        k = a.shape[1]
+        flux[:, lo_col:lo_col + k] = h
+        flux[:, lo_col + k:lo_col + 2 * k] = (
+            (a - h.astype(np.float64)).astype(np.float32))
+
+    sp_into(nL1g, 0)
+    sp_into(nL2g, 6)
+    sp_into(etag, 12)
+    nvraw = np.asarray(neumann_val, np.float64)
+    ipofa = grid.inpofa
+    ipv = ipofa >= 0
+    nsum = np.where(ipv, nvraw[np.where(ipv, ipofa, 0)], 0.0)
+    nmean_face = nsum.sum(axis=1) / np.maximum(ipv.sum(axis=1), 1)
+    sp_into(nmean_face, 14)
+    return flux
+
+
+def build_face_pack(dgrid, perm, diff_mag, neumann_val, put_geo=None):
+    """THE single construction site for the 30-column packed face row
+    consumed by the GLS kernels (used by GLSInterpolation.prepare,
+    parallel/sharding.sharded_gls and __graft_entry__.entry; layout
+    pinned by tests/test_methods.py::test_face_pack_layout).
+
+    f32 columns: [0:2] esuf cell pair (int32 bitcast — bit patterns
+    survive gather/slice), [2:5]/[5:8] face normal hi/lo,
+    [8:11]/[11:14] face center hi/lo, [14:30] the flux block of
+    ``build_flux_block``.  30 columns stays under the 32-column
+    (128-byte) cap of the TPU gather fast path; the boundary flag and
+    Neumann-row vectors are derived in-kernel.
+
+    ``put_geo`` overrides the placement of the flux block (defaults to
+    ``dgrid.put_geo`` — replicated, or dim-0 partitioned with padding in
+    shard_geometry mode, matching the resident geometry pairs).
+    """
+    put = dgrid.put_geo if put_geo is None else put_geo
+    flux = build_flux_block(dgrid.grid, perm, diff_mag, neumann_val)
+    ip_f = jax.lax.bitcast_convert_type(dgrid.face_ipack, jnp.float32)
+    return jnp.concatenate(
+        [ip_f[:, 0:2], dgrid.nrm_h, dgrid.nrm_l, dgrid.fcc_h,
+         dgrid.fcc_l, put(flux)], axis=1)
+
+
 # ---------------------------------------------------------------------------
 # Public driver
 # ---------------------------------------------------------------------------
@@ -973,6 +1069,9 @@ class GLSInterpolation:
         # f32 host delivery (documented non-parity knob, see
         # Interpolator.delivery_f32)
         self.delivery_f32 = False
+        # executable inventory of the last prepared plan (bench.py
+        # reports it: warm start is linear in this count)
+        self.last_program_count = None
 
     def prepare(self, dgrid, cells_data, points_data, faces_data,
                 variable_to_index, variable, target_points,
@@ -1015,58 +1114,13 @@ class GLSInterpolation:
         if self._face_cache_key != ckey:
             perm = np.reshape(cells_data[perm_idx], (grid.n_elems, 3, 3))
             diff_mag = cells_data[diff_idx]
-            nL1g, nL2g, etag, nLbg = precompute_face_data(
-                grid, perm, diff_mag)
-
             # ONE packed face row per face (kernel gathers it once;
-            # column layout documented in _gls_bucket_impl): geometry
-            # columns come from the device-resident grid pairs, flux
-            # columns are uploaded here.  The hi/lo splits write
-            # straight into ONE preallocated buffer — concatenating
-            # per-piece temporaries peaked ~1 GB higher at 2M-cell
-            # scale (fresh-subprocess VmHWM).
-            flux = np.empty((grid.n_faces, 16), np.float32)
-
-            def sp_into(a, lo_col):
-                a = np.asarray(a, np.float64).reshape(grid.n_faces, -1)
-                h = a.astype(np.float32)
-                k = a.shape[1]
-                flux[:, lo_col:lo_col + k] = h
-                flux[:, lo_col + k:lo_col + 2 * k] = (
-                    (a - h.astype(np.float64)).astype(np.float32))
-
-            sp_into(nL1g, 0)
-            sp_into(nL2g, 6)
-            sp_into(etag, 12)
-            # per-face Neumann mean (f64, same semantics as the oracle's
-            # np.mean over the face's points, gls.pyx:374-416) — packing
-            # it per FACE removes the per-face-POINT scalar value
-            # gathers from the Neumann-bucket kernels (those cost ~8
-            # cycles per row x 4F rows per node on this chip)
-            nvraw = np.asarray(points_data[nv_idx], np.float64)
-            ipofa = grid.inpofa
-            ipv = ipofa >= 0
-            nsum = np.where(ipv, nvraw[np.where(ipv, ipofa, 0)], 0.0)
-            nmean_face = (nsum.sum(axis=1)
-                          / np.maximum(ipv.sum(axis=1), 1))
-            sp_into(nmean_face, 14)
-            del nL1g, nL2g, nLbg, etag, nsum, nmean_face
-            # 30 f32 columns — under the 32-column (128-byte) cap of
-            # the TPU gather fast path (see _gls_bucket_impl): the esuf
-            # pair rides bitcast in the same row (bit patterns
-            # preserved through gather/slice), the boundary flag and
-            # nLb columns are derived in-kernel
-            ip_f = jax.lax.bitcast_convert_type(dgrid.face_ipack,
-                                                jnp.float32)
-            # shard_geometry mode: flux/flags follow the grid arrays'
-            # dim-0 partitioning (put_geo pads to the mesh size so the
-            # concat operands agree); default mode put_geo is a plain
-            # single-device/replicated upload
-            face_pack = jnp.concatenate(
-                [ip_f[:, 0:2],
-                 dgrid.nrm_h, dgrid.nrm_l, dgrid.fcc_h, dgrid.fcc_l,
-                 dgrid.put_geo(flux)], axis=1)
-            del flux
+            # geometry columns come from the device-resident grid
+            # pairs, flux columns are uploaded here; in shard_geometry
+            # mode put_geo gives the flux block the grid arrays' dim-0
+            # partitioning so the concat operands agree)
+            face_pack = build_face_pack(
+                dgrid, perm, diff_mag, points_data[nv_idx])
             self._face_cache = (face_pack, dgrid.put_geo(neumann_flag))
             self._face_cache_key = ckey
         face_dev = self._face_cache
@@ -1225,6 +1279,57 @@ class GLSInterpolation:
                 "NINPOL_TPU_PREGATHER_GB", "6")) * 1e9
             pregather = est <= budget
         tkey = self._face_cache_key
+        if pregather:
+            # Gather ALL units' missing tiles in ONE merged program
+            # (each per-unit gather shape costs ~10 s of executable
+            # load through the remote helper; see _gls_gather_plan).
+            # TPU only by default: per-unit gather programs ride the
+            # shape ladder across mesh scales, which keeps the CPU
+            # suite's compile count bounded.
+            merged = (_os.environ.get("NINPOL_TPU_PER_UNIT_GATHER")
+                      != "1"
+                      and (jax.default_backend() == "tpu"
+                           or _os.environ.get(
+                               "NINPOL_TPU_MERGED_GATHER") == "1"))
+            missing = [u for u in units
+                       if (u[1].get("_tiles") is None
+                           or u[1]["_tiles"][0] != tkey)]
+            if merged and len(missing) > 1:
+                from .device_grid import bucket_dev as _bdev
+                nl, vl, psig = [], [], []
+                for kind, p in missing:
+                    if kind == "scan":
+                        nl.append(p["nodes_sd"])
+                        vl.append(p["valid_sd"])
+                        psig.append((p["E"], p["F"], p["S"]))
+                    else:
+                        nd, vd = _bdev(p)
+                        nl.append(nd)
+                        vl.append(vd)
+                        psig.append((p["E"], p["F"], 1))
+                tiles_all = _gls_gather_plan(
+                    tuple(nl), tuple(vl), dgrid.esup2d, dgrid.esup_cnt,
+                    dgrid.fsup2d, dgrid.fsup_cnt, dgrid.point_pack,
+                    dgrid.cell_pack, *face_dev, plan_sig=tuple(psig))
+                for (_k, p), t in zip(missing, tiles_all):
+                    p["_tiles"] = (tkey, t)
+        # Executable inventory for this plan (each distinct program
+        # costs ~10 s of load through the remote helper even fully
+        # cached — bench.py reports this so program-count regressions
+        # are visible): solve programs (one per unit sig) + gather
+        # programs (1 merged, or one per (E,F,S,B) sig) + the
+        # consolidation program.
+        _usigs = {unit_sig(u) for u in units}
+        if not pregather:
+            _gp = 0
+        elif (_os.environ.get("NINPOL_TPU_PER_UNIT_GATHER") != "1"
+              and (jax.default_backend() == "tpu"
+                   or _os.environ.get("NINPOL_TPU_MERGED_GATHER")
+                   == "1")):
+            _gp = 1
+        else:
+            _gp = len({s[1:5] for s in _usigs})
+        self.last_program_count = len(_usigs) + _gp + 1
         _mark("bucket_plan")
 
         # Dispatch all chunks asynchronously (JAX queues them), then
@@ -1259,6 +1364,8 @@ class GLSInterpolation:
         # dropped full-size consolidation run plus transient HBM).
         tol_f = float(self.fallback_tol
                       if self.fallback_tol is not None else 0.0)
+        group_delivery = _os.environ.get(
+            "NINPOL_TPU_GROUP_DELIVERY") == "1"
         # device_out whole-plan-as-ONE-program path (solve scans +
         # consolidation fused).  MEASURED SLOWER on hardware and OFF by
         # default (opt-in NINPOL_TPU_MEGA=1): 1.275 s vs 1.161 s
@@ -1310,7 +1417,7 @@ class GLSInterpolation:
             sig = ("gls",
                    tuple((p["E"], len(p["pos"])) for p in payloads),
                    n_target, ncols_out, device_out, tol_f,
-                   bool(self.delivery_f32))
+                   bool(self.delivery_f32), group_delivery)
             f64_ = jnp.float64
             zeros = jnp.zeros
 
@@ -1323,7 +1430,7 @@ class GLSInterpolation:
                               for p in payloads)
                 pos_d = zeros((sum(len(p["pos"]) for p in payloads),),
                               jnp.int64)
-                if device_out:
+                if device_out or not group_delivery:
                     _consolidate_device(dummy_parts(payloads), pos_d,
                                         rns_d, tol=tol_f,
                                         ncols_out=ncols_out,
@@ -1344,7 +1451,7 @@ class GLSInterpolation:
                 if sig not in _preloaded_sigs:
                     _preloaded_sigs.add(sig)
                     cjobs = [ex.submit(preload_consolidate)]
-                    if not device_out:
+                    if not device_out and group_delivery:
                         cjobs += [ex.submit(preload_concat, grp)
                                   for grp in _group_plan(payloads)]
                 for f in futs:
@@ -1372,21 +1479,39 @@ class GLSInterpolation:
             rns = tuple(r for _, _, _, r in launched)
         if use_mega:
             pass                      # wdev/rndev/n_bad_dev already set
-        elif device_out:
+        elif device_out or not group_delivery:
             wdev, rndev, n_bad_dev = _consolidate_device(
                 tuple((w, wn) for _, w, wn, _ in launched),
                 pos_flat, rns, tol=tol_f, ncols_out=ncols_out,
                 n_target=n_target)
             _mark("consolidate")
+            if not device_out:
+                # Host delivery rides the SAME consolidation program as
+                # device_out (one fewer distinct executable — each costs
+                # ~10 s of load through this environment's remote
+                # helper) and fetches in ONE transfer: the relay
+                # serializes transfers anyway, and the largest concat
+                # group of the old path carried most of the compute, so
+                # the fetch/compute overlap it gave up is < the 0.58 s
+                # kernel time.  Values are bit-identical: the same rows
+                # pass through the same at[pos].set scatter the
+                # device_out path is pinned to.
+                src = (wdev.astype(jnp.float32) if self.delivery_f32
+                       else wdev)
+                host = np.asarray(src)
+                rows = np.nonzero(active)[0]
+                weights[rows, :] = host[rows, :ncols_out]
+                neumann_ws[rows] = host[rows, ncols_out]
+                _mark("host_write")
         else:
             rndev, n_bad_dev = _consolidate_rnorm(
                 rns, pos_flat, tol=tol_f, n_target=n_target)
-            # Host delivery: group chunk outputs into a few compact
-            # device concats and fetch them SEQUENTIALLY — this relay
-            # serializes transfers (concurrent fetches stall), but a
-            # fetch of an early group overlaps the still-running compute
-            # of later groups; grouping also amortizes the ~70 ms
-            # per-transfer latency.
+            # Legacy grouped host delivery (NINPOL_TPU_GROUP_DELIVERY=1):
+            # chunk outputs in a few compact device concats fetched
+            # SEQUENTIALLY — a fetch of an early group overlaps the
+            # still-running compute of later groups.  Costs 1 + n_groups
+            # extra executables vs the consolidated path above; kept as
+            # a measured A/B knob for relay-latency regressions.
             groups = _group_plan(launched)
             cats = [_concat_group(
                 tuple((w, wn) for _, w, wn, _ in grp),

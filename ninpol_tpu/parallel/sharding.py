@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -56,7 +57,7 @@ def sharded_gls(dgrid, mesh, shard_geometry=False, axis="nodes"):
     all-gather collectives for the stencil gathers; use for meshes whose
     geometry exceeds one chip's HBM.
     """
-    from .._methods.gls import _gls_bucket_kernel, precompute_face_data
+    from .._methods.gls import _gls_bucket_kernel, build_face_pack
 
     node_sh = node_sharding(mesh, axis)
     rep = replicated(mesh)
@@ -77,54 +78,25 @@ def sharded_gls(dgrid, mesh, shard_geometry=False, axis="nodes"):
             arr = np.pad(arr, widths)
         return jax.device_put(arr, geo_sh)
 
-    def _sp(a):
-        """Exact hi/lo float32 split (the kernel consumes pair-split
-        geometry; hi + lo reconstructs the float64 bit-exactly)."""
-        a = np.asarray(a, np.float64)
-        h = a.astype(np.float32)
-        return h, (a - h.astype(np.float64)).astype(np.float32)
-
     def run(bucket, perm, diff_mag, neumann_flag, neumann_val,
             n_refine=3, exact=False, neumann_compat=True,
             with_neumann=True):
-        grid = dgrid.grid
-        nL1g, nL2g, etag, nLbg = precompute_face_data(
-            grid, np.asarray(perm), np.asarray(diff_mag))
         put = _put_geo
-
-        def hpack(*arrs):
-            return np.concatenate(
-                sum((list(_sp(a)) for a in arrs), []), axis=1)
-
-        def _sp2(a):
-            a = np.asarray(a, np.float64).reshape(len(a), -1)
-            return _sp(a)
-        point_pack = hpack(np.asarray(grid.point_coords))
-        cell_pack = hpack(np.asarray(grid.centroids))
-        # 30-column packed face row (see methods/gls.py): esuf pair
-        # bitcast, then nrm/fcc/nL1/nL2 hi+lo, eta hi+lo, nmean hi+lo
-        # (boundary flag and nLb are derived in-kernel; nmean is the
-        # per-face f64 Neumann mean over the face's points)
-        ip_f = np.ascontiguousarray(
-            dgrid.esuf2d_h[:, :2]).view(np.float32)
-        nvraw = np.asarray(neumann_val, np.float64)
-        ipofa = grid.inpofa
-        ipv = ipofa >= 0
-        nsum = np.where(ipv, nvraw[np.where(ipv, ipofa, 0)], 0.0)
-        nmean_face = nsum.sum(axis=1) / np.maximum(ipv.sum(axis=1), 1)
-        face_pack = np.concatenate(
-            [ip_f[:, 0:2],
-             hpack(grid.normal_faces), hpack(grid.faces_centers),
-             hpack(nL1g), hpack(nL2g),
-             np.concatenate(_sp2(etag[:, None]), axis=1),
-             np.concatenate(_sp2(nmean_face[:, None]), axis=1)], axis=1)
+        # the ONE 30-column packed face row construction site
+        # (gls.build_face_pack) — built on dgrid's device, fetched and
+        # re-placed under this function's mesh/padding policy (bitcast
+        # int columns survive the host round-trip bit-exactly)
+        face_pack = np.asarray(build_face_pack(
+            dgrid, np.asarray(perm), np.asarray(diff_mag),
+            np.asarray(neumann_val), put_geo=jnp.asarray))
 
         args = (
             jax.device_put(bucket["nodes"], node_sh),
             jax.device_put(bucket["valid"], node_sh),
             put(dgrid.esup2d), put(dgrid.esup_cnt),
             put(dgrid.fsup2d), put(dgrid.fsup_cnt),
-            put(point_pack), put(cell_pack), put(face_pack),
+            put(np.asarray(dgrid.point_pack)),
+            put(np.asarray(dgrid.cell_pack)), put(face_pack),
             put(np.asarray(neumann_flag)),
         )
         with mesh:

@@ -348,3 +348,53 @@ def test_mega_plan_device_out_bit_equal(monkeypatch):
     wd_plain = np.asarray(interp.prepare_interpolator(
         "gls", case.name, tp, device_out=True))
     np.testing.assert_array_equal(wd_mega, wd_plain)
+
+
+def test_face_pack_layout():
+    """Pin the 30-column packed face row layout of gls.build_face_pack —
+    the ONE construction site shared by GLS.prepare,
+    parallel/sharding.sharded_gls and __graft_entry__.entry.  This test
+    goes red if any column moves (a silent layout drift between the
+    three former copies is exactly the bug class this prevents)."""
+    from ninpol_tpu._methods.gls import build_face_pack, \
+        precompute_face_data
+    case, interp = setup_case("tetra", 2)
+    f = get_fields(interp, case.name)
+    g = interp.grid
+    dg = interp.device_grid
+    perm = f["perm"].reshape(-1, 3, 3)
+    fp = np.asarray(build_face_pack(dg, perm, f["dmag"], f["nval"]))
+    assert fp.shape == (g.n_faces, 30)
+
+    def hi(a):
+        return np.asarray(a, np.float64).astype(np.float32)
+
+    def lo(a):
+        a = np.asarray(a, np.float64)
+        return (a - hi(a).astype(np.float64)).astype(np.float32)
+
+    # [0:2] esuf cell pair, int32 bit patterns preserved through the
+    # f32 bitcast
+    ip = np.ascontiguousarray(fp[:, 0:2]).view(np.int32)
+    np.testing.assert_array_equal(ip, dg.esuf2d_h[:, :2])
+    # [2:8] normal hi/lo, [8:14] face-center hi/lo (exact split by
+    # construction)
+    np.testing.assert_array_equal(fp[:, 2:5], hi(g.normal_faces))
+    np.testing.assert_array_equal(fp[:, 5:8], lo(g.normal_faces))
+    np.testing.assert_array_equal(fp[:, 8:11], hi(g.faces_centers))
+    np.testing.assert_array_equal(fp[:, 11:14], lo(g.faces_centers))
+    # [14:30] flux block: K@N both sides, eta, per-face Neumann mean
+    nL1g, nL2g, etag, _ = precompute_face_data(g, perm, f["dmag"])
+    np.testing.assert_array_equal(fp[:, 14:17], hi(nL1g))
+    np.testing.assert_array_equal(fp[:, 17:20], lo(nL1g))
+    np.testing.assert_array_equal(fp[:, 20:23], hi(nL2g))
+    np.testing.assert_array_equal(fp[:, 23:26], lo(nL2g))
+    np.testing.assert_array_equal(fp[:, 26], hi(etag))
+    np.testing.assert_array_equal(fp[:, 27], lo(etag))
+    nvraw = np.asarray(f["nval"], np.float64)
+    ipofa = g.inpofa
+    ipv = ipofa >= 0
+    nsum = np.where(ipv, nvraw[np.where(ipv, ipofa, 0)], 0.0)
+    nmean = nsum.sum(axis=1) / np.maximum(ipv.sum(axis=1), 1)
+    np.testing.assert_array_equal(fp[:, 28], hi(nmean))
+    np.testing.assert_array_equal(fp[:, 29], lo(nmean))

@@ -286,3 +286,48 @@ def test_clamped_pivot_flags_both_rounds():
     d_comb = np.abs(np.diagonal(Lc, axis1=1, axis2=2)).max()
     assert d_comb < 3e4          # the combined factor alone MISSES it
     assert max(d_comb, d_r1) > 3e4   # the both-rounds guard catches it
+
+
+def test_gls_merged_gather_bit_equal(monkeypatch):
+    """NINPOL_TPU_MERGED_GATHER=1 gathers EVERY unit's tiles in ONE
+    program (gls._gls_gather_plan — the TPU default, where each extra
+    executable costs ~10 s of load through the remote helper) and must
+    be bit-identical to the per-unit gather programs: both halves are
+    pure data movement, no float arithmetic."""
+    from ninpol_tpu.interpolator import Interpolator
+    from ninpol_tpu._methods import gls as gls_mod
+    from ninpol_tpu.ops import pallas_chol
+    from ninpol_tpu.utils import meshgen
+    from tests.utils.cases import ALHCase
+
+    def run():
+        case = ALHCase()
+        case.assign_mesh_properties(meshgen.tetra_mesh(2), seed=0)
+        interp = Interpolator()
+        interp.load_mesh(mesh_obj=case.mesh)
+        tp = np.arange(interp.grid.n_points)
+        W, NW = interp.prepare_interpolator("gls", case.name, tp)
+        n_tiled = 0
+        for plan in interp.device_grid._plan_cache.values():
+            for b in plan:
+                for d in (b, b.get("_scan_unit") or {}):
+                    if d.get("_tiles") is not None:
+                        n_tiled += 1
+        return W, NW, n_tiled
+
+    old_i, old_f = pallas_chol.INTERPRET, gls_mod._FORCE_FUSED
+    pallas_chol.INTERPRET = True
+    gls_mod._FORCE_FUSED = True
+    try:
+        monkeypatch.setenv("NINPOL_TPU_MERGED_GATHER", "1")
+        Wm, NWm, n_tiled = run()
+        assert n_tiled > 1, \
+            "merged gather needs >1 unit — test premise broken"
+        monkeypatch.delenv("NINPOL_TPU_MERGED_GATHER")
+        monkeypatch.setenv("NINPOL_TPU_PER_UNIT_GATHER", "1")
+        Wp, NWp, _ = run()
+        np.testing.assert_array_equal(Wm, Wp)
+        np.testing.assert_array_equal(NWm, NWp)
+    finally:
+        pallas_chol.INTERPRET = old_i
+        gls_mod._FORCE_FUSED = old_f
