@@ -98,31 +98,47 @@ def scale(x, s32):
 
 
 def tree_sum(x, axis):
-    """Pairwise df32 reduction along ``axis`` (padded to a power of two
-    with zeros).  Fully parallel: depth log2(n) df32 adds.  Uses static
-    slices only (Pallas-compatible)."""
+    """Pairwise df32 reduction along ``axis``: exactly n-1 df32 adds,
+    depth ~log2(n).  Uses static slices only (Pallas-compatible).
+
+    The original form padded n up to a power of two with zeros and ran
+    a full even tree — for the GLS scatter stage (n = F = 36 -> 64)
+    that was 63 df32 adds per call where 35 suffice, and the scatter
+    tree was the measured hot spot of the refinement sweeps (round 5
+    attribution, tools/r5_attrib.py).  This form splits n at the
+    largest power of two below it instead (36 = 32 + 4), summing each
+    part pairwise and df32-adding the partial sums: no zero-padding
+    work, same ~depth*2^-48 error class (depth is within +-1 of the
+    padded tree's)."""
     import jax.lax as lax
-    xh, xl = x
-    n = xh.shape[axis]
-    p = 1
-    while p < n:
-        p *= 2
-    if p != n:
-        pad = [(0, 0)] * xh.ndim
-        pad[axis] = (0, p - n)
-        # explicit f32 pad value: the default python-int 0 traces as a
-        # weak i64 constant under x64, and Mosaic's i64->f32 convert
-        # helper recurses forever (same class as pallas_chol 68547bf)
-        zero = xh.dtype.type(0)
-        xh = jnp.pad(xh, pad, constant_values=zero)
-        xl = jnp.pad(xl, pad, constant_values=zero)
-    while xh.shape[axis] > 1:
-        h = xh.shape[axis] // 2
-        a = (lax.slice_in_dim(xh, 0, h, axis=axis),
-             lax.slice_in_dim(xl, 0, h, axis=axis))
-        b = (lax.slice_in_dim(xh, h, 2 * h, axis=axis),
-             lax.slice_in_dim(xl, h, 2 * h, axis=axis))
-        xh, xl = add(a, b)
+
+    def even_tree(xh, xl, n):
+        # n is a power of two
+        while n > 1:
+            n //= 2
+            a = (lax.slice_in_dim(xh, 0, n, axis=axis),
+                 lax.slice_in_dim(xl, 0, n, axis=axis))
+            b = (lax.slice_in_dim(xh, n, 2 * n, axis=axis),
+                 lax.slice_in_dim(xl, n, 2 * n, axis=axis))
+            xh, xl = add(a, b)
+        return xh, xl
+
+    def rec(xh, xl):
+        n = xh.shape[axis]
+        if n == 1:
+            return xh, xl
+        p = 1
+        while p * 2 < n:
+            p *= 2
+        if p * 2 == n:
+            return even_tree(xh, xl, n)
+        a = even_tree(lax.slice_in_dim(xh, 0, p, axis=axis),
+                      lax.slice_in_dim(xl, 0, p, axis=axis), p)
+        b = rec(lax.slice_in_dim(xh, p, n, axis=axis),
+                lax.slice_in_dim(xl, p, n, axis=axis))
+        return add(a, b)
+
+    xh, xl = rec(*x)
     return jnp.squeeze(xh, axis), jnp.squeeze(xl, axis)
 
 

@@ -367,7 +367,7 @@ def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
                   wh_ref, wl_ref, wnh_ref, wnl_ref, rn_ref,
                   a_scr, g_scr, li_scr,
                   *, E, F, n, n_pad, m, sweeps, with_neumann, tiny, shift,
-                  rounds=2):
+                  rounds=2, probe_stop=None, tau_one=False):
     from . import df32 as dd
 
     # ---- df32 geometric prologue, IN-KERNEL (plane layout) -----------
@@ -406,10 +406,9 @@ def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
     zi = jnp.int32(0)
     k1c = jnp.where(interior, k1, zi)
     k2c = jnp.where(interior, k2, zi)
-    S1 = ((ks0[None, :, :] == k1c[:, None, :]) & interior[:, None, :]
-          & cvb[None, :, :]).astype(_F32)            # (F, E, NT)
-    S2 = ((ks0[None, :, :] == k2c[:, None, :]) & interior[:, None, :]
-          & cvb[None, :, :]).astype(_F32)
+    m2 = interior[:, None, :] & cvb[None, :, :]      # shared (F, E, NT)
+    S1 = ((ks0[None, :, :] == k1c[:, None, :]) & m2).astype(_F32)
+    S2 = ((ks0[None, :, :] == k2c[:, None, :]) & m2).astype(_F32)
 
     xv = [(ppk0[c], ppk0[c + 3]) for c in range(3)]  # (NT,) pairs
 
@@ -430,9 +429,14 @@ def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
                     jnp.where(interior, _F32(1e-30), _F32(1.0)))
     t2l = jnp.where(interior & ~degen, t2n2[1], _F32(0.0))
     eta = (fpk0[24], fpk0[25])
-    # tau = ||T2||^(-eta) = exp2(-(eta/2) * log2(||T2||^2))
-    tau = dd.exp2(dd.mul(dd.scale(eta, _F32(-0.5)),
-                         dd.log2((t2h, t2l))))       # (F, NT)
+    if tau_one:
+        # PROBE ONLY (tools/r5_attrib.py): cost the transcendental tau
+        # chain by replacing it with a pass-through of its inputs
+        tau = (t2h + eta[0] * _F32(1e-30), t2l * _F32(0.0))
+    else:
+        # tau = ||T2||^(-eta) = exp2(-(eta/2) * log2(||T2||^2))
+        tau = dd.exp2(dd.mul(dd.scale(eta, _F32(-0.5)),
+                             dd.log2((t2h, t2l))))   # (F, NT)
 
     dk, l1, l2, t1m, tt = [], [], [], [], []
     for c in range(3):
@@ -460,38 +464,113 @@ def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
     dS = S2 - S1
     msk = cv0 * af0                                  # (E, NT)
 
-    # ---- assemble A (hi parts) in VMEM, permuted basis [x|y|z|const];
-    # columns n..n_pad are zero padding (dead, decoupled by deadm below)
-    a_scr[:] = jnp.zeros((m, n_pad, NT), _F32)
+    # ---- assemble the FACE rows of A (hi parts) in VMEM, permuted
+    # basis [x|y|z|const]; columns n..n_pad are zero padding (dead,
+    # decoupled by deadm below).  The CELL-row block (E rows, 4
+    # nonzeros each: the dk diagonals + the const column) never touches
+    # the MXU operands: its Gram/Q/Gram2 contributions fold in closed
+    # form on the VPU below — this drops the MXU contraction depth
+    # m -> 3F (or 4F) and, decisively, Q's output from TWO 128-row MXU
+    # tiles (m = E+3F = 132 at the tetra class) to ONE (round-5
+    # attribution: the Q dot was 253 ns/node of a 1707 ns kernel).
+    # Only the padding columns need the upfront zero fill: every row of
+    # columns 0..3E is overwritten by the block writes below, and column
+    # 3E's face rows are covered by this fill.  Start at the sublane
+    # boundary below 3E so the fill stays aligned for every E class.
+    mF = m - E                                       # face rows only
+    if probe_stop == "prologue":
+        # PROBE ONLY: stop before the assembly writes; outputs derive
+        # from every prologue product so none is dead-code-eliminated
+        red = jnp.sum(S1 + S2, axis=0)               # (E, NT)
+        for c in range(3):
+            red = red + dk[c][0] + dk[c][1]
+        redf = tt[0][0] + tt[0][1] + l1[0][0] + l2[0][0] + t1m[0][0]
+        wh_ref[0] = red
+        wl_ref[0] = red * _F32(2)
+        wnh_ref[0] = jnp.sum(redf, axis=0)[None, :]
+        wnl_ref[0] = jnp.sum(msk, axis=0)[None, :]
+        rn_ref[0] = jnp.sum(dS, axis=(0, 1))[None, :]
+        return
+    z0 = (3 * E // 8) * 8
+    a_scr[:, z0:, :] = jnp.zeros((mF, n_pad - z0, NT), _F32)
     eyeE = (jax.lax.broadcasted_iota(jnp.int32, (E, E), 0)
             == jax.lax.broadcasted_iota(jnp.int32, (E, E), 1)).astype(_F32)
     for c in range(3):
-        a_scr[0:E, c * E:(c + 1) * E, :] = (
-            eyeE[:, :, None] * dk[c][0][None, :, :])
-        a_scr[E:E + F, c * E:(c + 1) * E, :] = (
+        a_scr[0:F, c * E:(c + 1) * E, :] = (
             S2 * l2[c][0][:, None, :]
             - S1 * l1[c][0][:, None, :])
-        a_scr[E + F:E + 2 * F, c * E:(c + 1) * E, :] = (
+        a_scr[F:2 * F, c * E:(c + 1) * E, :] = (
             dS * t1m[c][0][:, None, :])
-        a_scr[E + 2 * F:E + 3 * F, c * E:(c + 1) * E, :] = (
+        a_scr[2 * F:3 * F, c * E:(c + 1) * E, :] = (
             dS * tt[c][0][:, None, :])
         if with_neumann:
-            a_scr[E + 3 * F:E + 4 * F, c * E:(c + 1) * E, :] = (
+            a_scr[3 * F:4 * F, c * E:(c + 1) * E, :] = (
                 -Sb * lb[c][0][:, None, :])
-    a_scr[0:E, 3 * E:3 * E + 1, :] = cv0[:, None, :]
+
+    if probe_stop == "assembly":
+        # PROBE ONLY: stop after prologue + assembly; outputs derive
+        # from a_scr so nothing upstream is dead-code-eliminated
+        red = jnp.sum(a_scr[:], axis=0)              # (n_pad, NT)
+        wh_ref[0] = red[:E]
+        wl_ref[0] = red[E:2 * E] if n_pad >= 2 * E else red[:E] * _F32(2)
+        wnh_ref[0] = red[:1]
+        wnl_ref[0] = red[1:2]
+        rn_ref[0] = red[2:3]
+        return
 
     # ---- shifted CholQR2 preconditioner.  The three heavy matmul
     # stages (Gram1, Q = A Li1^T, Gram2) run as batched per-node MXU
-    # dot_generals on a once-transposed copy of the tile; Cholesky,
-    # L^{-1} and the df32 sweeps stay in the VPU layout (sequential
-    # per-element algebra is where lane-parallelism wins).
+    # dot_generals on a once-transposed copy of the FACE-row tile;
+    # Cholesky, L^{-1} and the df32 sweeps stay in the VPU layout
+    # (sequential per-element algebra is where lane-parallelism wins).
     a = a_scr[:]
-    d2 = jnp.sum(a * a, axis=0)
+    d2f = jnp.sum(a * a, axis=0)                       # face column norms
+    # cell-row contributions in closed form: column c*E+e gets
+    # dk_c[e]^2, the const column gets sum(cv0^2)
+    dksq = [dk[c][0] * dk[c][0] for c in range(3)]     # (E, NT)
+    cv2 = jnp.sum(cv0 * cv0, axis=0)[None, :]          # (1, NT)
+    tail = ([jnp.zeros((n_pad - 3 * E - 1, NT), _F32)]
+            if n_pad > 3 * E + 1 else [])
+    d2 = d2f + jnp.concatenate(dksq + [cv2] + tail, axis=0)
     deadm = (d2 == 0).astype(_F32)
     D = jax.lax.rsqrt(jnp.where(d2 == 0, _F32(1), d2)) * (1 - deadm)
     a = a * D[None, :, :]
-    at = jnp.transpose(a, (2, 0, 1))                   # (NT, m, n_pad)
+    at = jnp.transpose(a, (2, 0, 1))                   # (NT, mF, n_pad)
     _gram_mxu(at, g_scr, n_pad, deadm + _F32(shift))
+    # fold the cell-row block into G in closed form: rows are
+    # e_(c*E+e)*dk_c[e] + e_(3E)*cv0[e], so (after the D column
+    # normalization) G gains eyeE-diagonal (c, c') blocks, a const
+    # column/row, and the const diagonal entry
+    dkn = [dk[c][0] * D[c * E:(c + 1) * E, :] for c in range(3)]
+    cvn = cv0 * D[3 * E:3 * E + 1, :]                  # (E, NT)
+    for ci in range(3):
+        for cj in range(3):
+            prod = dkn[ci] * dkn[cj]                   # (E, NT)
+            g_scr[ci * E:(ci + 1) * E, cj * E:(cj + 1) * E, :] = (
+                g_scr[ci * E:(ci + 1) * E, cj * E:(cj + 1) * E, :]
+                + eyeE[:, :, None] * prod[:, None, :])
+        pc = dkn[ci] * cvn                             # (E, NT)
+        g_scr[ci * E:(ci + 1) * E, 3 * E:3 * E + 1, :] = (
+            g_scr[ci * E:(ci + 1) * E, 3 * E:3 * E + 1, :]
+            + pc[:, None, :])
+        g_scr[3 * E:3 * E + 1, ci * E:(ci + 1) * E, :] = (
+            g_scr[3 * E:3 * E + 1, ci * E:(ci + 1) * E, :]
+            + pc[None, :, :])
+    g_scr[3 * E:3 * E + 1, 3 * E:3 * E + 1, :] = (
+        g_scr[3 * E:3 * E + 1, 3 * E:3 * E + 1, :]
+        + jnp.sum(cvn * cvn, axis=0)[None, None, :])
+
+    def _probe_emit(red, tag):
+        # PROBE ONLY: write outputs derived from ``red`` (n_pad, NT)
+        wh_ref[0] = red[:E]
+        wl_ref[0] = red[:E] * _F32(2)
+        wnh_ref[0] = red[:1]
+        wnl_ref[0] = red[1:2]
+        rn_ref[0] = red[2:3]
+
+    if probe_stop == "gram1":
+        _probe_emit(jnp.sum(g_scr[:], axis=0), "gram1")
+        return
     # chol/linv stay ALL-VPU (lt_scr/limx_scr=None): the MXU super-panel
     # folds were built and measured (tools/chol_mxu_probe.py, round 4)
     # and LOSE — 781-1850 ns/node vs 636 for this baseline at (E=24,
@@ -505,6 +584,9 @@ def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
     dinv1 = _chol_panels(g_scr, n_pad, tiny, tri=True)
     _linv_rows(g_scr, li_scr, n_pad, dinv1, tri=True)
     li1 = li_scr[:]
+    if probe_stop == "chol1":
+        _probe_emit(jnp.sum(li1, axis=0) + dinv1[0][None, :], "chol1")
+        return
     dmax = jnp.zeros((NT,), _F32)
     if rounds >= 2:
         # Q = A Li1^T never materializes outside registers/VMEM values:
@@ -514,8 +596,32 @@ def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
             at, jnp.transpose(li1, (2, 0, 1)),
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=_F32,
-            precision=jax.lax.Precision.HIGHEST)       # (NT, m, n_pad)
-        _gram_mxu(qt, g_scr, n_pad, deadm)
+            precision=jax.lax.Precision.HIGHEST)       # (NT, mF, n_pad)
+        if probe_stop == "q":
+            _probe_emit(jnp.transpose(jnp.sum(qt, axis=1), (1, 0)), "q")
+            return
+        # cell-row block of Q in closed form:
+        # q_top[e, j] = sum_c dkn_c[e] Li1[j, cE+e] + cvn[e] Li1[j, 3E]
+        qv = None
+        for c in range(3):
+            t = li1[:, c * E:(c + 1) * E, :] * dkn[c][None, :, :]
+            qv = t if qv is None else qv + t           # (n_pad, E, NT)
+        qv = qv + li1[:, 3 * E:3 * E + 1, :] * cvn[None, :, :]
+        qtop = jnp.transpose(qv, (2, 1, 0))            # (NT, E, n_pad)
+        g2 = jax.lax.dot_general(
+            qt, qt, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=_F32, precision=_HI)
+        g2 = g2 + jax.lax.dot_general(
+            qtop, qtop, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=_F32, precision=_HI)
+        eye2 = (jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+                ).astype(_F32)
+        g_scr[:] = (jnp.transpose(g2, (1, 2, 0))
+                    + eye2[:, :, None] * deadm[:, None, :])
+        if probe_stop == "gram2":
+            _probe_emit(jnp.sum(g_scr[:], axis=0), "gram2")
+            return
         # The round-2 factor L2 is used by Mapply through triangular
         # SOLVES (O(n^2) per vector); the explicit combined inverse
         # Lc = L2^{-1} Li1 of the earlier design cost another
@@ -544,28 +650,72 @@ def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
         for k in range(n_pad):
             dmax = jnp.maximum(dmax, dinv1[k])
 
+    if probe_stop == "precond":
+        # PROBE ONLY: stop after the full preconditioner build
+        red = jnp.sum(li1, axis=0)                   # (n_pad, NT)
+        if rounds >= 2:
+            red = red + jnp.sum(lm, axis=0) + d2stk
+        wh_ref[0] = red[:E]
+        wl_ref[0] = red[:E] + dmax[None, :]
+        wnh_ref[0] = red[:1]
+        wnl_ref[0] = red[1:2]
+        rn_ref[0] = dmax[None, :]
+        return
+
     def Mapply(rh, rl):
         # M v = Li1^T L2^{-T} L2^{-1} Li1 v (rounds=2; M = Li1^T Li1
-        # for rounds=1).  The solves run as statically unrolled
-        # column sweeps on the masked column planes: forward never
-        # pins row k (updates only touch rows > k, so one final
-        # diagonal scale finishes it), backward pins with a one-hot.
+        # for rounds=1).  Every stage is TRIANGULAR-restricted at 8-row
+        # granularity (round 5): Li1's rows and lm's columns are zero
+        # beyond the diagonal by construction, so the full-width forms
+        # spent half their VPU work multiplying stored zeros.  All
+        # slices stay sublane-aligned; the skipped terms are exact
+        # zeros (sum-order ulp differences only).
         v = (rh + rl) * D
-        u = jnp.sum(li1 * v[None, :, :], axis=1)       # Li1 v
+        us = []
+        for k0 in range(0, n_pad, 8):                  # u = Li1 v
+            # slice BEFORE adding the new axis: None + partial slice
+            # routes through jnp's gather path, which Mosaic rejects
+            vw = v[:k0 + 8, :]
+            us.append(jnp.sum(li1[k0:k0 + 8, :k0 + 8, :]
+                              * vw[None, :, :], axis=1))
+        u = jnp.concatenate(us, axis=0)
         if rounds >= 2:
-            for k in range(n_pad):                     # u <- L2^{-1} u
-                xk = u[k, :] * dinv2[k]
-                u = u - lm[k] * xk[None, :]
+            for k0 in range(0, n_pad, 8):              # u <- L2^{-1} u
+                tail = u[k0:, :]
+                for c in range(8):
+                    xk = tail[c, :] * dinv2[k0 + c]
+                    tail = tail - lm[k0 + c][k0:, :] * xk[None, :]
+                u = tail if k0 == 0 else jnp.concatenate(
+                    [u[:k0, :], tail], axis=0)
             x = u * d2stk
-            y = x
-            for k in range(n_pad - 1, -1, -1):         # y <- L2^{-T} x
-                s = jnp.sum(lm[k] * y, axis=0)
-                yk = (x[k, :] - s) * dinv2[k]
-                pin = _iota_eq((n_pad, NT), 0, k)
-                y = y * (1 - pin) + pin * yk[None, :]
-            u = y
-        w2 = jnp.sum(li1 * u[:, None, :], axis=0)      # Li1^T u
-        return w2 * D, jnp.zeros((n_pad, NT), _F32)
+            # y <- L2^{-T} x, built bottom-up in 8-row slabs: row k
+            # needs only rows > k of y (lm[k] is zero at rows <= k)
+            ytail = None                               # rows k0+8..
+            for k0 in range(n_pad - 8, -1, -8):
+                rows = [None] * 8
+                for c in range(7, -1, -1):
+                    k = k0 + c
+                    s = jnp.zeros((NT,), _F32)
+                    if ytail is not None:
+                        s = jnp.sum(lm[k][k0 + 8:, :] * ytail, axis=0)
+                    for p in range(c + 1, 8):
+                        s = s + lm[k][k0 + p, :] * rows[p]
+                    rows[c] = (x[k, :] - s) * dinv2[k]
+                slab = jnp.stack(rows, axis=0)         # (8, NT)
+                ytail = slab if ytail is None else jnp.concatenate(
+                    [slab, ytail], axis=0)
+            u = ytail
+        w2s = None                                     # w2 = Li1^T u
+        for k0 in range(0, n_pad, 8):
+            u8 = u[k0:k0 + 8, :]
+            part = jnp.sum(li1[k0:k0 + 8, :k0 + 8, :]
+                           * u8[:, None, :], axis=0)
+            if w2s is None:
+                w2s = part
+            else:
+                w2s = jnp.concatenate(
+                    [w2s[:k0, :] + part[:k0, :], part[k0:, :]], axis=0)
+        return w2s * D, jnp.zeros((n_pad, NT), _F32)
 
     # ---- df32 structured operator (permuted basis: component blocks
     # are static slices)
@@ -672,7 +822,7 @@ def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
 
 def gls_solve_fused(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
                     with_neumann, sweeps=3, tiny=1e-12, shift=1.5e-5,
-                    rounds=2):
+                    rounds=2, probe_stop=None, tau_one=False):
     """The whole GLS mixed-precision solve as ONE Pallas pass per tile.
 
     Inputs are the RAW packed gather rows, tiled with the component
@@ -702,7 +852,8 @@ def gls_solve_fused(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
     m = E + (4 if with_neumann else 3) * F
     kern = functools.partial(_solve_kernel, E=E, F=F, n=n, n_pad=n_pad,
                              m=m, sweeps=sweeps, with_neumann=with_neumann,
-                             tiny=tiny, shift=shift, rounds=rounds)
+                             tiny=tiny, shift=shift, rounds=rounds,
+                             probe_stop=probe_stop, tau_one=tau_one)
     sp = lambda *dims: pl.BlockSpec(
         (1,) + dims, lambda i: (i,) + (i * 0,) * len(dims),
         memory_space=pltpu.VMEM)
@@ -718,7 +869,7 @@ def gls_solve_fused(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
                    jax.ShapeDtypeStruct((G, 1, NT), _F32),
                    jax.ShapeDtypeStruct((G, 1, NT), _F32),
                    jax.ShapeDtypeStruct((G, 1, NT), _F32)],
-        scratch_shapes=[pltpu.VMEM((m, n_pad, NT), _F32),
+        scratch_shapes=[pltpu.VMEM((m - E, n_pad, NT), _F32),
                         pltpu.VMEM((n_pad, n_pad, NT), _F32),
                         pltpu.VMEM((n_pad, n_pad, NT), _F32)],
         compiler_params=pltpu.CompilerParams(
