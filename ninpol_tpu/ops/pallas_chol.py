@@ -382,6 +382,20 @@ def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
     # eta h/l | nmean h/l (the per-face Neumann mean is precomputed in
     # f64 on the host — the former per-face-POINT scalar gathers cost
     # ~8 cycles x 4F rows per node, more than the whole solve).
+    if probe_stop == "noop":
+        # PROBE ONLY: touch every input once, no compute — measures the
+        # per-grid-step floor (input DMA + step bookkeeping)
+        red = (fpk[0][0] * _F32(0) + ppk[0][0][None, :]
+               + cpk[0][0][0][None, :] + ks[0][0][None, :].astype(_F32)
+               + cv[0][0][None, :] + fv[0][0][None, :] + neu[0]
+               + vld[0] + k12[0][0][0][None, :].astype(_F32))  # (F, NT)
+        wh_ref[0] = jnp.broadcast_to(red[:1], (E, NT))
+        wl_ref[0] = jnp.broadcast_to(red[1:2], (E, NT))
+        wnh_ref[0] = red[:1]
+        wnl_ref[0] = red[1:2]
+        rn_ref[0] = red[2:3]
+        return
+
     ppk0, cpk0, fpk0 = ppk[0], cpk[0], fpk[0]
     k1 = k12[0][0]                                   # (F, NT) i32
     k2 = k12[0][1]

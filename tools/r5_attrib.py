@@ -63,6 +63,7 @@ def main():
         "asm": dict(sweeps=3, rounds=2, probe_stop="assembly"),
         "asm_notau": dict(sweeps=3, rounds=2, probe_stop="assembly",
                           tau_one=True),
+        "noop": dict(sweeps=3, rounds=2, probe_stop="noop"),
         "prologue": dict(sweeps=3, rounds=2, probe_stop="prologue"),
         "gram1": dict(sweeps=3, rounds=2, probe_stop="gram1"),
         "chol1": dict(sweeps=3, rounds=2, probe_stop="chol1"),
