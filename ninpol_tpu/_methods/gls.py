@@ -156,8 +156,21 @@ def _gls_gather_fused(nodes, valid, esup2d, esup_cnt, fsup2d, fsup_cnt,
         point_pack, cell_pack, face_pack, neumann_flag, E=E, F=F)
 
     def tile_kc(x):
+        """(B, K, C) -> (G, C*Kp, NT): component planes FLATTENED onto
+        one sublane axis, each plane padded to a sublane multiple (Kp).
+        A 4-D (C, K, NT) block with K % 8 != 0 (F=36 at the tetra
+        class) makes every plane a strided DMA segment into the padded
+        VMEM tiling — measured 8 GB/s vs ~30% faster for the flat
+        aligned form (tools/r5_layout_probe.py).  In-kernel, plane c is
+        the aligned static slice [c*Kp : c*Kp+K]."""
         K, C = x.shape[1], x.shape[2]
-        return jnp.transpose(x.reshape(Gt, _NT, K, C), (0, 3, 2, 1))
+        Kp = -(-K // 8) * 8
+        t = jnp.transpose(x.reshape(Gt, _NT, K, C), (0, 3, 2, 1))
+        if Kp != K:
+            zero = x.dtype.type(0)
+            t = jnp.pad(t, ((0, 0), (0, 0), (0, Kp - K), (0, 0)),
+                        constant_values=zero)
+        return t.reshape(Gt, C * Kp, _NT)
 
     def tile_k(x):
         return jnp.transpose(x.reshape(Gt, _NT, -1), (0, 2, 1))
@@ -1273,7 +1286,13 @@ class GLSInterpolation:
                      and _os.environ.get("NINPOL_TPU_NO_PREGATHER")
                      != "1")
         if pregather:
-            est = sum(len(p["pos"]) * (33 * p["E"] + 124 * p["F"] + 40)
+            # bytes/node: ppk 6 + cpk 6*Ep + fpk 28*Fp + pair 2*Fp +
+            # ks/cv 2*E + fv F + neu/vld 2, all 4-byte (tile_kc pads
+            # plane strides to sublane multiples Ep/Fp)
+            est = sum(len(p["pos"])
+                      * 4 * (8 + 6 * (-(-p["E"] // 8) * 8)
+                             + 30 * (-(-p["F"] // 8) * 8)
+                             + 2 * p["E"] + p["F"])
                       for _, p in units)
             budget = float(_os.environ.get(
                 "NINPOL_TPU_PREGATHER_GB", "6")) * 1e9

@@ -385,10 +385,10 @@ def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
     if probe_stop == "noop":
         # PROBE ONLY: touch every input once, no compute — measures the
         # per-grid-step floor (input DMA + step bookkeeping)
-        red = (fpk[0][0] * _F32(0) + ppk[0][0][None, :]
-               + cpk[0][0][0][None, :] + ks[0][0][None, :].astype(_F32)
-               + cv[0][0][None, :] + fv[0][0][None, :] + neu[0]
-               + vld[0] + k12[0][0][0][None, :].astype(_F32))  # (F, NT)
+        red = (fpk[0][:3] * _F32(0) + ppk[0][:1]
+               + cpk[0][:1] + ks[0][:1].astype(_F32)
+               + cv[0][:1] + fv[0][:3] + neu[0]
+               + vld[0] + k12[0][:3].astype(_F32))   # (3, NT)
         wh_ref[0] = jnp.broadcast_to(red[:1], (E, NT))
         wl_ref[0] = jnp.broadcast_to(red[1:2], (E, NT))
         wnh_ref[0] = red[:1]
@@ -396,9 +396,19 @@ def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
         rn_ref[0] = red[2:3]
         return
 
-    ppk0, cpk0, fpk0 = ppk[0], cpk[0], fpk[0]
-    k1 = k12[0][0]                                   # (F, NT) i32
-    k2 = k12[0][1]
+    # Flattened plane-padded packs (see gls._gls_gather_fused tile_kc):
+    # plane c of a K-plane pack lives at rows [c*Kp, c*Kp+K) with Kp
+    # the sublane-rounded plane stride — aligned slice starts, one
+    # contiguous DMA segment per block instead of C strided ones
+    Fp = -(-F // 8) * 8
+    Ep = -(-E // 8) * 8
+    ppk0 = ppk[0]
+    fp_ = fpk[0]                                     # (28*Fp, NT)
+    cp_ = cpk[0]                                     # (6*Ep, NT)
+    fpk0 = [fp_[c * Fp:c * Fp + F] for c in range(28)]
+    cpk0 = [cp_[c * Ep:c * Ep + E] for c in range(6)]
+    k1 = k12[0][:F]                                  # (F, NT) i32
+    k2 = k12[0][Fp:Fp + F]
     ks0 = ks[0]                                      # (E, NT) i32
     cvb = cv[0] > 0
     fvb = fv[0] > 0
@@ -840,11 +850,13 @@ def gls_solve_fused(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
     """The whole GLS mixed-precision solve as ONE Pallas pass per tile.
 
     Inputs are the RAW packed gather rows, tiled with the component
-    axis outermost (see methods/gls.py):
-      ppk (G, 6, NT) f32      point coords hi(3)+lo(3)
-      cpk (G, 6, E, NT) f32   cell centroids hi(3)+lo(3)
-      fpk (G, 28, F, NT) f32  nrm/fcc/nL1/nL2 hi+lo, eta h/l, nmean h/l
-      k12 (G, 2, F, NT) i32   esuf pair (k2 < 0 marks boundary)
+    planes FLATTENED onto one sublane axis at plane stride Kp =
+    ceil(K/8)*8 (see methods/gls.py tile_kc — aligned plane starts,
+    one contiguous DMA segment per block):
+      ppk (G, 6, NT) f32        point coords hi(3)+lo(3)
+      cpk (G, 6*Ep, NT) f32     cell centroids hi(3)+lo(3)
+      fpk (G, 28*Fp, NT) f32    nrm/fcc/nL1/nL2 hi+lo, eta, nmean
+      k12 (G, 2*Fp, NT) i32     esuf pair (k2 < 0 marks boundary)
       ks  (G, E, NT) i32      surrounding cells (clipped)
       cv/fv                   cell/face validity (f32 0/1)
       neu/vld (G, 1, NT)      Neumann flag / bucket-valid flag
@@ -859,8 +871,10 @@ def gls_solve_fused(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
 
     Returns (w_h, w_l (G,E,NT), wn_h, wn_l (G,1,NT), rnorm (G,1,NT)).
     """
-    G, _, E, _ = cpk.shape
-    F = fpk.shape[2]
+    G, E, _ = ks.shape
+    F = fv.shape[1]
+    Fp = -(-F // 8) * 8
+    Ep = -(-E // 8) * 8
     n = 3 * E + 1
     n_pad = -(-n // 8) * 8          # sublane-aligned working width
     m = E + (4 if with_neumann else 3) * F
@@ -874,7 +888,8 @@ def gls_solve_fused(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
     return pl.pallas_call(
         kern,
         grid=(G,),
-        in_specs=[sp(6, NT), sp(6, E, NT), sp(28, F, NT), sp(2, F, NT),
+        in_specs=[sp(6, NT), sp(6 * Ep, NT), sp(28 * Fp, NT),
+                  sp(2 * Fp, NT),
                   sp(E, NT), sp(E, NT), sp(F, NT), sp(1, NT), sp(1, NT)],
         out_specs=[sp(E, NT), sp(E, NT), sp(1, NT), sp(1, NT),
                    sp(1, NT)],

@@ -38,14 +38,19 @@ def main():
     rng = np.random.default_rng(0)
     f32 = jnp.float32
 
+    Fp = -(-F // 8) * 8
+    Ep = -(-E // 8) * 8
     ppk = jnp.asarray(rng.standard_normal((G, 6, NT)), f32)
-    cpk = jnp.asarray(rng.standard_normal((G, 6, E, NT)), f32)
-    fpk = jnp.asarray(rng.standard_normal((G, 28, F, NT)) * 0.3, f32)
-    fpk = fpk.at[:, 24].set(jnp.abs(fpk[:, 24]) + 1.0)
-    fpk = fpk.at[:, 25].set(0.0)
-    k12 = jnp.asarray(
-        np.stack([rng.integers(0, E, (G, F, NT)),
-                  rng.integers(0, E, (G, F, NT))], axis=1), jnp.int32)
+    cpk = jnp.asarray(rng.standard_normal((G, 6 * Ep, NT)), f32)
+    fpk = jnp.asarray(rng.standard_normal((G, 28 * Fp, NT)) * 0.3, f32)
+    # eta plane (24) positive-ish; its lo plane (25) zero
+    fpk = fpk.at[:, 24 * Fp:24 * Fp + F].set(
+        jnp.abs(fpk[:, 24 * Fp:24 * Fp + F]) + 1.0)
+    fpk = fpk.at[:, 25 * Fp:25 * Fp + F].set(0.0)
+    k12np = np.zeros((G, 2 * Fp, NT), np.int32)
+    k12np[:, :F] = rng.integers(0, E, (G, F, NT))
+    k12np[:, Fp:Fp + F] = rng.integers(0, E, (G, F, NT))
+    k12 = jnp.asarray(k12np)
     ks = jnp.asarray(
         np.broadcast_to(np.arange(E, dtype=np.int32)[None, :, None],
                         (G, E, NT)).copy())
