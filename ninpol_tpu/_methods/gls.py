@@ -132,21 +132,30 @@ def _gls_gather_raw(nodes, valid, esup2d, esup_cnt, fsup2d, fsup_cnt,
 def _gls_gather_fused(nodes, valid, esup2d, esup_cnt, fsup2d, fsup_cnt,
                       point_pack, cell_pack, face_pack, neumann_flag,
                       *, E, F):
-    """Gather + tile the fused-path kernel inputs for one chunk.
+    """Gather + PRECOMPUTE the fused-path kernel inputs for one chunk.
 
-    The returned 13-tuple is a pure function of (grid topology, variable
+    The returned 12-tuple is a pure function of (grid topology, variable
     data, bucket plan) — the exact contract of gls._face_cache — so
     prepare() caches it on the plan's unit dicts and the timed solve
-    never pays the HBM-large-table gather cost (~32 ms per 16k chunk at
-    1.9M tets, more than the fused kernel itself; tools/gather_probe).
+    never pays either the HBM-large-table gather cost (~32 ms per 16k
+    chunk at 1.9M tets; tools/gather_probe) or the df32 geometric
+    prologue (T1, N x T1, the tau exp2/log2 chain, piece masking —
+    ~430 ns/node of VPU compute, the round-5 attribution's largest
+    block once DMA proved to overlap).  The solve kernel receives the
+    finished df32 PIECES (dk, l1, l2, t1m, tau*T2, boundary nL1,
+    boundary nmean as hi/lo plane pairs) and keeps only the one-hot
+    incidence, masks, assembly and the solve itself.
 
-    Tile layouts (B = chunk nodes, G = B/NT grid steps):
-      (B, K, C) -> (G, C, K, NT)   component axis outermost, so every
-      (B, K)    -> (G, K, NT)      in-kernel component slice is a full
-                                   sublane-aligned (K, NT) plane.
-    The last four entries stay untiled for the XLA epilogue
-    (output masking + the neumann_compat column pick)."""
+    Every float op here mirrors the former in-kernel prologue
+    element-for-element (same df32 ops, same order), so results are
+    unchanged; split vs fused stays bit-identical because both run
+    THIS composition.
+
+    Tile layouts (B = chunk nodes, G = B/NT grid steps): component
+    planes flattened at sublane-padded stride Kp (see tile_kc).  The
+    last four entries stay untiled for the XLA epilogue."""
     f32 = jnp.float32
+    from ..ops import df32 as dd
     from ..ops.pallas_chol import NT as _NT
     B = nodes.shape[0]
     Gt = B // _NT
@@ -154,6 +163,61 @@ def _gls_gather_fused(nodes, valid, esup2d, esup_cnt, fsup2d, fsup_cnt,
      cpk, ppk, is_neu, active) = _gls_gather_raw(
         nodes, valid, esup2d, esup_cnt, fsup2d, fsup_cnt,
         point_pack, cell_pack, face_pack, neumann_flag, E=E, F=F)
+
+    # ---- df32 geometric pieces, (B, F)/(B, E) layout ---------------
+    k2r = pair[:, :, 1]
+    fvb = face_valid
+    interior = fvb & (k2r >= 0)
+    bnd32 = (fvb & (k2r < 0)).astype(f32)            # (B, F)
+    im32 = interior.astype(f32)
+    cv32 = cell_valid.astype(f32)                    # (B, E)
+    col = lambda i: fpk[:, :, i]
+    xv = [(ppk[:, c], ppk[:, c + 3]) for c in range(3)]
+
+    def bcF(p):
+        return (jnp.broadcast_to(p[0][:, None], (B, F)),
+                jnp.broadcast_to(p[1][:, None], (B, F)))
+
+    def bcE(p):
+        return (jnp.broadcast_to(p[0][:, None], (B, E)),
+                jnp.broadcast_to(p[1][:, None], (B, E)))
+
+    Nf = [(col(c), col(3 + c)) for c in range(3)]
+    T1 = [dd.add(bcF(xv[c]), dd.neg((col(6 + c), col(9 + c))))
+          for c in range(3)]
+    T2 = [dd.add(dd.mul(Nf[i], T1[j]), dd.neg(dd.mul(Nf[j], T1[i])))
+          for (i, j) in ((1, 2), (2, 0), (0, 1))]    # N x T1
+    t2n2 = dd.mul(T2[0], T2[0])
+    for c in (1, 2):
+        t2n2 = dd.add(t2n2, dd.mul(T2[c], T2[c]))
+    degen = t2n2[0] < f32(1e-30)
+    t2h = jnp.where(interior & ~degen, t2n2[0],
+                    jnp.where(interior, f32(1e-30), f32(1.0)))
+    t2l = jnp.where(interior & ~degen, t2n2[1], f32(0.0))
+    eta = (col(24), col(25))
+    # tau = ||T2||^(-eta) = exp2(-(eta/2) * log2(||T2||^2))
+    tau = dd.exp2(dd.mul(dd.scale(eta, f32(-0.5)),
+                         dd.log2((t2h, t2l))))       # (B, F)
+
+    fplanes = []                                     # 32 x (B, F)
+    dplanes = []                                     # 6 x (B, E)
+    t1m_, tt_, l1_, l2_, lb_ = [], [], [], [], []
+    for c in range(3):
+        dkc = dd.add((cpk[:, :, c], cpk[:, :, 3 + c]),
+                     dd.neg(bcE(xv[c])))
+        dplanes.append((dkc[0] * cv32, dkc[1] * cv32))
+        l1_.append((col(12 + c) * im32, col(15 + c) * im32))
+        l2_.append((col(18 + c) * im32, col(21 + c) * im32))
+        t1m_.append((T1[c][0] * im32, T1[c][1] * im32))
+        ttc = dd.mul(tau, T2[c])
+        tt_.append((ttc[0] * im32, ttc[1] * im32))
+        lb_.append((col(12 + c) * bnd32, col(15 + c) * bnd32))
+    nm_ = (col(26) * bnd32, col(27) * bnd32)
+    for group in (l1_, l2_, t1m_, tt_, lb_):
+        fplanes.extend([g[0] for g in group])
+        fplanes.extend([g[1] for g in group])
+    fplanes.extend([nm_[0], nm_[1]])
+    dk_hi_lo = [d[0] for d in dplanes] + [d[1] for d in dplanes]
 
     def tile_kc(x):
         """(B, K, C) -> (G, C*Kp, NT): component planes FLATTENED onto
@@ -176,7 +240,9 @@ def _gls_gather_fused(nodes, valid, esup2d, esup_cnt, fsup2d, fsup_cnt,
         return jnp.transpose(x.reshape(Gt, _NT, -1), (0, 2, 1))
 
     i32 = lambda a: a.astype(jnp.int32)
-    return (tile_k(ppk), tile_kc(cpk), tile_kc(fpk), tile_kc(pair),
+    fgp = tile_kc(jnp.stack(fplanes, axis=2))        # (G, 32*Fp, NT)
+    dkp = tile_kc(jnp.stack(dk_hi_lo, axis=2))       # (G, 6*Ep, NT)
+    return (dkp, fgp, tile_kc(pair),
             tile_k(i32(KS)), tile_k(cell_valid.astype(f32)),
             tile_k(face_valid.astype(f32)),
             tile_k(is_neu.astype(f32)[:, None]),
@@ -186,18 +252,18 @@ def _gls_gather_fused(nodes, valid, esup2d, esup_cnt, fsup2d, fsup_cnt,
 
 def _gls_solve_fused_tiles(tiles, *, n_refine=2, neumann_compat=True,
                            with_neumann=True, rounds=2):
-    """TPU fast path from pre-gathered tiles: df32 geometric prologue
-    (T1, cross, tau via df32 exp2/log2), one-hot incidence, assembly,
-    shifted CholQR2, refinement sweeps, weight extraction — ONE Pallas
-    pass per 128-node tile (ops/pallas_chol._solve_kernel) plus the
-    tiny XLA output epilogue."""
+    """TPU fast path from pre-gathered, PRE-COMPUTED piece tiles:
+    one-hot incidence, assembly, shifted CholQR2, refinement sweeps,
+    weight extraction — ONE Pallas pass per 128-node tile
+    (ops/pallas_chol._solve_kernel) plus the tiny XLA output epilogue.
+    The df32 geometric prologue lives in _gls_gather_fused (cached)."""
     f64 = jnp.float64
     from ..ops.pallas_chol import gls_solve_fused
-    (pp_t, cp_t, fp_t, pair_t, ks_t, cv_t, fv_t, neu_t, val_t,
+    (dkp_t, fgp_t, pair_t, ks_t, cv_t, fv_t, neu_t, val_t,
      active, cell_valid, n_elem, is_neu) = tiles
     B = active.shape[0]
     wh, wl, wnh, wnl, rnt = gls_solve_fused(
-        pp_t, cp_t, fp_t, pair_t, ks_t, cv_t, fv_t, neu_t, val_t,
+        dkp_t, fgp_t, pair_t, ks_t, cv_t, fv_t, neu_t, val_t,
         with_neumann, rounds=rounds,
         # single-round CholQR contracts the residual by ~eps32*cond(A)
         # per sweep instead of cond-independently, so it runs two extra

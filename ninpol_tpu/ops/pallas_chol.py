@@ -363,30 +363,27 @@ def _gram_mxu(at, g_scr, n_pad, diag_vec):
                 + eye[:, :, None] * diag_vec[:, None, :])
 
 
-def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
+def _solve_kernel(dkp, fgp, k12, ks, cv, fv, neu, vld,
                   wh_ref, wl_ref, wnh_ref, wnl_ref, rn_ref,
                   a_scr, g_scr, li_scr,
                   *, E, F, n, n_pad, m, sweeps, with_neumann, tiny, shift,
-                  rounds=2, probe_stop=None, tau_one=False):
+                  rounds=2, probe_stop=None):
     from . import df32 as dd
 
-    # ---- df32 geometric prologue, IN-KERNEL (plane layout) -----------
-    # Inputs are the raw packed gather rows tiled with the component
-    # axis OUTERMOST ((c, K, NT): every component slice is a full
-    # sublane-aligned (K, NT) plane — a (K, c, NT) layout would pay a
-    # relayout on every component slice).  The former XLA prologue
-    # (T1/cross/tau/masks, plus one (G,K,3,NT) transpose per piece)
-    # collapses into VMEM work here; only the gathers and the tiling
-    # transposes of the raw packs stay in XLA.  fpk column layout
-    # (methods/gls.py): nrm h/l | fcc h/l | nL1 h/l | nL2 h/l |
-    # eta h/l | nmean h/l (the per-face Neumann mean is precomputed in
-    # f64 on the host — the former per-face-POINT scalar gathers cost
-    # ~8 cycles x 4F rows per node, more than the whole solve).
+    # ---- unpack the PRECOMPUTED df32 piece planes --------------------
+    # The geometric prologue (T1, N x T1, tau exp2/log2, piece masking)
+    # runs ONCE per (grid, variable, plan) in the cached gather program
+    # (methods/gls._gls_gather_fused) — it was the largest compute
+    # block left in the kernel (~430 ns/node) once input DMA proved to
+    # overlap compute (tools/r5_overlap_probe.py).  Planes are
+    # flattened at sublane-padded stride Kp (aligned slice starts, one
+    # contiguous DMA segment per block).  fgp plane order:
+    # l1 h0-2/l0-2 | l2 | t1m | tt(=tau*T2) | lbnd(=nL1*bnd) | nmean
     if probe_stop == "noop":
         # PROBE ONLY: touch every input once, no compute — measures the
         # per-grid-step floor (input DMA + step bookkeeping)
-        red = (fpk[0][:3] * _F32(0) + ppk[0][:1]
-               + cpk[0][:1] + ks[0][:1].astype(_F32)
+        red = (fgp[0][:3] * _F32(0) + dkp[0][:1]
+               + ks[0][:1].astype(_F32)
                + cv[0][:1] + fv[0][:3] + neu[0]
                + vld[0] + k12[0][:3].astype(_F32))   # (3, NT)
         wh_ref[0] = jnp.broadcast_to(red[:1], (E, NT))
@@ -396,17 +393,11 @@ def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
         rn_ref[0] = red[2:3]
         return
 
-    # Flattened plane-padded packs (see gls._gls_gather_fused tile_kc):
-    # plane c of a K-plane pack lives at rows [c*Kp, c*Kp+K) with Kp
-    # the sublane-rounded plane stride — aligned slice starts, one
-    # contiguous DMA segment per block instead of C strided ones
     Fp = -(-F // 8) * 8
     Ep = -(-E // 8) * 8
-    ppk0 = ppk[0]
-    fp_ = fpk[0]                                     # (28*Fp, NT)
-    cp_ = cpk[0]                                     # (6*Ep, NT)
-    fpk0 = [fp_[c * Fp:c * Fp + F] for c in range(28)]
-    cpk0 = [cp_[c * Ep:c * Ep + E] for c in range(6)]
+    fg_ = fgp[0]                                     # (32*Fp, NT)
+    dk_ = dkp[0]                                     # (6*Ep, NT)
+    fpl = lambda c: fg_[c * Fp:c * Fp + F]           # (F, NT)
     k1 = k12[0][:F]                                  # (F, NT) i32
     k2 = k12[0][Fp:Fp + F]
     ks0 = ks[0]                                      # (E, NT) i32
@@ -417,7 +408,6 @@ def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
 
     interior = fvb & (k2 >= 0)
     bnd = fvb & (k2 < 0)
-    im32 = interior.astype(_F32)                     # (F, NT)
     cv0 = cvb.astype(_F32)                           # (E, NT)
     n_face = jnp.sum(fvb.astype(_F32), axis=0)       # (NT,)
     n_bface = jnp.sum(bnd.astype(_F32), axis=0)
@@ -434,53 +424,26 @@ def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
     S1 = ((ks0[None, :, :] == k1c[:, None, :]) & m2).astype(_F32)
     S2 = ((ks0[None, :, :] == k2c[:, None, :]) & m2).astype(_F32)
 
-    xv = [(ppk0[c], ppk0[c + 3]) for c in range(3)]  # (NT,) pairs
-
-    def bc(p, K):
-        return (jnp.broadcast_to(p[0][None, :], (K, NT)),
-                jnp.broadcast_to(p[1][None, :], (K, NT)))
-
-    Nf = [(fpk0[c], fpk0[3 + c]) for c in range(3)]  # (F, NT) pairs
-    T1 = [dd.add(bc(xv[c], F), dd.neg((fpk0[6 + c], fpk0[9 + c])))
+    # pieces from the precomputed planes (masks already applied in the
+    # gather program; lbnd/nmean carry the bnd mask, the per-variable
+    # isneu factor is applied here — exact 0/1 mask products, so
+    # (x*bnd)*isneu is bit-identical to the former x*(bnd&isneu))
+    dk = [(dk_[c * Ep:c * Ep + E], dk_[(3 + c) * Ep:(3 + c) * Ep + E])
           for c in range(3)]
-    T2 = [dd.add(dd.mul(Nf[i], T1[j]), dd.neg(dd.mul(Nf[j], T1[i])))
-          for (i, j) in ((1, 2), (2, 0), (0, 1))]    # N x T1
-    t2n2 = dd.mul(T2[0], T2[0])
-    for c in (1, 2):
-        t2n2 = dd.add(t2n2, dd.mul(T2[c], T2[c]))
-    degen = t2n2[0] < _F32(1e-30)
-    t2h = jnp.where(interior & ~degen, t2n2[0],
-                    jnp.where(interior, _F32(1e-30), _F32(1.0)))
-    t2l = jnp.where(interior & ~degen, t2n2[1], _F32(0.0))
-    eta = (fpk0[24], fpk0[25])
-    if tau_one:
-        # PROBE ONLY (tools/r5_attrib.py): cost the transcendental tau
-        # chain by replacing it with a pass-through of its inputs
-        tau = (t2h + eta[0] * _F32(1e-30), t2l * _F32(0.0))
-    else:
-        # tau = ||T2||^(-eta) = exp2(-(eta/2) * log2(||T2||^2))
-        tau = dd.exp2(dd.mul(dd.scale(eta, _F32(-0.5)),
-                             dd.log2((t2h, t2l))))   # (F, NT)
-
-    dk, l1, l2, t1m, tt = [], [], [], [], []
-    for c in range(3):
-        dkc = dd.add((cpk0[c], cpk0[3 + c]), dd.neg(bc(xv[c], E)))
-        dk.append((dkc[0] * cv0, dkc[1] * cv0))
-        l1.append((fpk0[12 + c] * im32, fpk0[15 + c] * im32))
-        l2.append((fpk0[18 + c] * im32, fpk0[21 + c] * im32))
-        t1m.append((T1[c][0] * im32, T1[c][1] * im32))
-        ttc = dd.mul(tau, T2[c])
-        tt.append((ttc[0] * im32, ttc[1] * im32))
+    l1 = [(fpl(c), fpl(3 + c)) for c in range(3)]
+    l2 = [(fpl(6 + c), fpl(9 + c)) for c in range(3)]
+    t1m = [(fpl(12 + c), fpl(15 + c)) for c in range(3)]
+    tt = [(fpl(18 + c), fpl(21 + c)) for c in range(3)]
     if with_neumann:
         bmask = bnd & isneu[None, :]
-        bm32 = bmask.astype(_F32)
+        ineu32 = isneu.astype(_F32)[None, :]         # (1, NT)
         owner = jnp.where(bmask, k1, jnp.int32(0))
         Sb = ((ks0[None, :, :] == owner[:, None, :]) & bmask[:, None, :]
               & cvb[None, :, :]).astype(_F32)
         # nLb == nL1 bit-exactly (both are perm[first_cell] @ N)
-        lb = [(fpk0[12 + c] * bm32, fpk0[15 + c] * bm32)
+        lb = [(fpl(24 + c) * ineu32, fpl(27 + c) * ineu32)
               for c in range(3)]
-        nm = (fpk0[26] * bm32, fpk0[27] * bm32)
+        nm = (fpl(30) * ineu32, fpl(31) * ineu32)
     else:
         Sb = None
         lb = None
@@ -844,30 +807,27 @@ def _solve_kernel(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
         wnl_ref[0] = jnp.zeros((1, NT), _F32)
 
 
-def gls_solve_fused(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
+def gls_solve_fused(dkp, fgp, k12, ks, cv, fv, neu, vld,
                     with_neumann, sweeps=3, tiny=1e-12, shift=1.5e-5,
-                    rounds=2, probe_stop=None, tau_one=False):
-    """The whole GLS mixed-precision solve as ONE Pallas pass per tile.
+                    rounds=2, probe_stop=None):
+    """The GLS mixed-precision solve as ONE Pallas pass per tile.
 
-    Inputs are the RAW packed gather rows, tiled with the component
-    planes FLATTENED onto one sublane axis at plane stride Kp =
-    ceil(K/8)*8 (see methods/gls.py tile_kc — aligned plane starts,
-    one contiguous DMA segment per block):
-      ppk (G, 6, NT) f32        point coords hi(3)+lo(3)
-      cpk (G, 6*Ep, NT) f32     cell centroids hi(3)+lo(3)
-      fpk (G, 28*Fp, NT) f32    nrm/fcc/nL1/nL2 hi+lo, eta, nmean
-      k12 (G, 2*Fp, NT) i32     esuf pair (k2 < 0 marks boundary)
+    Inputs are PRECOMPUTED df32 piece planes (built once per (grid,
+    variable, plan) in the cached gather program — methods/gls.
+    _gls_gather_fused), flattened at plane stride Kp = ceil(K/8)*8
+    (aligned plane starts, one contiguous DMA segment per block):
+      dkp (G, 6*Ep, NT) f32   dk = (centroid - x)*cv, hi(3)+lo(3)
+      fgp (G, 32*Fp, NT) f32  l1 | l2 | t1m | tau*T2 | nL1*bnd |
+                              nmean*bnd, each hi(3)+lo(3) (nmean 1+1)
+      k12 (G, 2*Fp, NT) i32   esuf pair (k2 < 0 marks boundary)
       ks  (G, E, NT) i32      surrounding cells (clipped)
       cv/fv                   cell/face validity (f32 0/1)
       neu/vld (G, 1, NT)      Neumann flag / bucket-valid flag
 
-    Per tile, entirely in VMEM: df32 geometric prologue (T1, cross,
-    tau via df32 exp2/log2), one-hot incidence, assembly, shifted
+    Per tile, entirely in VMEM: one-hot incidence, assembly, shifted
     CholQR2, ``sweeps`` df32 structured-residual refinement sweeps,
     and weight extraction — replacing the per-node LAPACK dgels of the
-    reference (gls.pyx:420-474) plus the XLA prologue and its dozen
-    per-piece (G,K,3,NT) transposes that previously sat between the
-    gathers and the kernel.
+    reference (gls.pyx:420-474).
 
     Returns (w_h, w_l (G,E,NT), wn_h, wn_l (G,1,NT), rnorm (G,1,NT)).
     """
@@ -881,14 +841,14 @@ def gls_solve_fused(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
     kern = functools.partial(_solve_kernel, E=E, F=F, n=n, n_pad=n_pad,
                              m=m, sweeps=sweeps, with_neumann=with_neumann,
                              tiny=tiny, shift=shift, rounds=rounds,
-                             probe_stop=probe_stop, tau_one=tau_one)
+                             probe_stop=probe_stop)
     sp = lambda *dims: pl.BlockSpec(
         (1,) + dims, lambda i: (i,) + (i * 0,) * len(dims),
         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
         grid=(G,),
-        in_specs=[sp(6, NT), sp(6 * Ep, NT), sp(28 * Fp, NT),
+        in_specs=[sp(6 * Ep, NT), sp(32 * Fp, NT),
                   sp(2 * Fp, NT),
                   sp(E, NT), sp(E, NT), sp(F, NT), sp(1, NT), sp(1, NT)],
         out_specs=[sp(E, NT), sp(E, NT), sp(1, NT), sp(1, NT),
@@ -906,7 +866,7 @@ def gls_solve_fused(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=INTERPRET,
-    )(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld)
+    )(dkp, fgp, k12, ks, cv, fv, neu, vld)
 
 
 def _prec_apply_kernel(lc_ref, v_ref, o_ref, *, n):

@@ -47,17 +47,12 @@ def probe_kernel(E, F, B, with_neumann=False, sweeps=3, rounds=2):
     rng = np.random.default_rng(0)
     f32 = jnp.float32
 
-    # packed-input format (see ops/pallas_chol.gls_solve_fused): raw
-    # gather rows, component planes flattened at sublane-padded stride
+    # packed-input format (see ops/pallas_chol.gls_solve_fused):
+    # precomputed df32 piece planes at sublane-padded stride
     Fp = -(-F // 8) * 8
     Ep = -(-E // 8) * 8
-    ppk = jnp.asarray(rng.standard_normal((G, 6, NT)), f32)
-    cpk = jnp.asarray(rng.standard_normal((G, 6 * Ep, NT)), f32)
-    fpk = jnp.asarray(rng.standard_normal((G, 28 * Fp, NT)) * 0.3, f32)
-    # eta plane positive-ish; tau clamps handle the rest
-    fpk = fpk.at[:, 24 * Fp:24 * Fp + F].set(
-        jnp.abs(fpk[:, 24 * Fp:24 * Fp + F]) + 1.0)
-    fpk = fpk.at[:, 25 * Fp:25 * Fp + F].set(0.0)
+    dkp = jnp.asarray(rng.standard_normal((G, 6 * Ep, NT)), f32)
+    fgp = jnp.asarray(rng.standard_normal((G, 32 * Fp, NT)) * 0.3, f32)
     k12np = np.zeros((G, 2 * Fp, NT), np.int32)
     k12np[:, :F] = rng.integers(0, E, (G, F, NT))
     k12np[:, Fp:Fp + F] = rng.integers(0, E, (G, F, NT))
@@ -71,7 +66,7 @@ def probe_kernel(E, F, B, with_neumann=False, sweeps=3, rounds=2):
     vld = jnp.ones((G, 1, NT), f32)
 
     def run():
-        return gls_solve_fused(ppk, cpk, fpk, k12, ks, cv, fv, neu, vld,
+        return gls_solve_fused(dkp, fgp, k12, ks, cv, fv, neu, vld,
                                with_neumann, sweeps=sweeps, rounds=rounds)
 
     t0 = time.perf_counter()

@@ -11,7 +11,7 @@ probe-stop variants, so marginal differences attribute time to stages:
   assembly(tau=1)    same, transcendental tau off  -> tau chain cost
 
 Usage: python tools/r5_attrib.py [B] [configs...]
-  configs default: s3 s2 precond asm asm_notau
+  configs default: s3 s2 precond asm
 """
 import os
 import sys
@@ -29,24 +29,19 @@ def main():
     from ninpol_tpu.ops.pallas_chol import NT, gls_solve_fused as _gsf
 
     gsf = jax.jit(_gsf, static_argnames=(
-        "with_neumann", "sweeps", "rounds", "probe_stop", "tau_one"))
+        "with_neumann", "sweeps", "rounds", "probe_stop"))
 
     E, F = 24, 36
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
-    configs = sys.argv[2:] or ["s3", "s2", "precond", "asm", "asm_notau"]
+    configs = sys.argv[2:] or ["s3", "s2", "precond", "asm"]
     G = B // NT
     rng = np.random.default_rng(0)
     f32 = jnp.float32
 
     Fp = -(-F // 8) * 8
     Ep = -(-E // 8) * 8
-    ppk = jnp.asarray(rng.standard_normal((G, 6, NT)), f32)
-    cpk = jnp.asarray(rng.standard_normal((G, 6 * Ep, NT)), f32)
-    fpk = jnp.asarray(rng.standard_normal((G, 28 * Fp, NT)) * 0.3, f32)
-    # eta plane (24) positive-ish; its lo plane (25) zero
-    fpk = fpk.at[:, 24 * Fp:24 * Fp + F].set(
-        jnp.abs(fpk[:, 24 * Fp:24 * Fp + F]) + 1.0)
-    fpk = fpk.at[:, 25 * Fp:25 * Fp + F].set(0.0)
+    dkp = jnp.asarray(rng.standard_normal((G, 6 * Ep, NT)), f32)
+    fgp = jnp.asarray(rng.standard_normal((G, 32 * Fp, NT)) * 0.3, f32)
     k12np = np.zeros((G, 2 * Fp, NT), np.int32)
     k12np[:, :F] = rng.integers(0, E, (G, F, NT))
     k12np[:, Fp:Fp + F] = rng.integers(0, E, (G, F, NT))
@@ -58,7 +53,7 @@ def main():
     fv = jnp.ones((G, F, NT), f32)
     neu = jnp.zeros((G, 1, NT), f32)
     vld = jnp.ones((G, 1, NT), f32)
-    args = (ppk, cpk, fpk, k12, ks, cv, fv, neu, vld)
+    args = (dkp, fgp, k12, ks, cv, fv, neu, vld)
 
     CONFIGS = {
         "s3": dict(sweeps=3, rounds=2),
@@ -66,8 +61,6 @@ def main():
         "s1": dict(sweeps=1, rounds=2),
         "precond": dict(sweeps=3, rounds=2, probe_stop="precond"),
         "asm": dict(sweeps=3, rounds=2, probe_stop="assembly"),
-        "asm_notau": dict(sweeps=3, rounds=2, probe_stop="assembly",
-                          tau_one=True),
         "noop": dict(sweeps=3, rounds=2, probe_stop="noop"),
         "prologue": dict(sweeps=3, rounds=2, probe_stop="prologue"),
         "gram1": dict(sweeps=3, rounds=2, probe_stop="gram1"),
@@ -109,7 +102,6 @@ def main():
     diff("s3", "s2", "one sweep (mul_G + Mapply)")
     diff("s3", "precond", "sweeps + extract total")
     diff("precond", "asm", "precond build (gram1+chol+linv+Q+gram2+chol2)")
-    diff("asm", "asm_notau", "tau exp2/log2 chain")
     diff("asm", "prologue", "assembly writes")
     diff("gram1", "asm", "D-normalize + transpose + gram1 MXU")
     diff("chol1", "gram1", "chol1 + linv1 (tri)")
