@@ -131,7 +131,7 @@ def _gls_gather_raw(nodes, valid, esup2d, esup_cnt, fsup2d, fsup_cnt,
 
 def _gls_gather_fused(nodes, valid, esup2d, esup_cnt, fsup2d, fsup_cnt,
                       point_pack, cell_pack, face_pack, neumann_flag,
-                      *, E, F):
+                      *, E, F, wneu=True):
     """Gather + PRECOMPUTE the fused-path kernel inputs for one chunk.
 
     The returned 12-tuple is a pure function of (grid topology, variable
@@ -213,10 +213,16 @@ def _gls_gather_fused(nodes, valid, esup2d, esup_cnt, fsup2d, fsup_cnt,
         tt_.append((ttc[0] * im32, ttc[1] * im32))
         lb_.append((col(12 + c) * bnd32, col(15 + c) * bnd32))
     nm_ = (col(26) * bnd32, col(27) * bnd32)
-    for group in (l1_, l2_, t1m_, tt_, lb_):
+    # interior-only units (the dominant class) skip the Neumann-only
+    # planes entirely: 24-plane fgp vs 32 — the solve never reads them
+    # when with_neumann=False, and the tile bytes are the timed path's
+    # input stream
+    groups = (l1_, l2_, t1m_, tt_) + ((lb_,) if wneu else ())
+    for group in groups:
         fplanes.extend([g[0] for g in group])
         fplanes.extend([g[1] for g in group])
-    fplanes.extend([nm_[0], nm_[1]])
+    if wneu:
+        fplanes.extend([nm_[0], nm_[1]])
     dk_hi_lo = [d[0] for d in dplanes] + [d[1] for d in dplanes]
 
     def tile_kc(x):
@@ -314,7 +320,8 @@ def _gls_bucket_impl(
         # half does no float arithmetic).
         tiles = _gls_gather_fused(
             nodes, valid, esup2d, esup_cnt, fsup2d, fsup_cnt,
-            point_pack, cell_pack, face_pack, neumann_flag, E=E, F=F)
+            point_pack, cell_pack, face_pack, neumann_flag, E=E, F=F,
+            wneu=with_neumann)
         return _gls_solve_fused_tiles(
             tiles, n_refine=n_refine, neumann_compat=neumann_compat,
             with_neumann=with_neumann, rounds=rounds)
@@ -778,22 +785,23 @@ def _gls_bucket_scan(nodes_s, valid_s, esup2d, esup_cnt, fsup2d, fsup_cnt,
 # contiguous leading-axis blocks (one DMA per operand, see the
 # (G, ..., NT) shaping rule in CLAUDE.md).
 _gls_gather_j = partial(
-    jax.jit, static_argnames=("E", "F"))(_gls_gather_fused)
+    jax.jit, static_argnames=("E", "F", "wneu"))(_gls_gather_fused)
 _gls_solve_tiles_j = partial(
     jax.jit, static_argnames=("n_refine", "neumann_compat",
                               "with_neumann", "rounds"))(
     _gls_solve_fused_tiles)
 
 
-@partial(jax.jit, static_argnames=("E", "F"))
+@partial(jax.jit, static_argnames=("E", "F", "wneu"))
 def _gls_gather_scan(nodes_s, valid_s, esup2d, esup_cnt, fsup2d,
                      fsup_cnt, point_pack, cell_pack, face_pack,
-                     neumann_flag, *, E, F):
+                     neumann_flag, *, E, F, wneu=True):
     def body(c, nv):
         nodes, valid = nv
         return c, _gls_gather_fused(
             nodes, valid, esup2d, esup_cnt, fsup2d, fsup_cnt,
-            point_pack, cell_pack, face_pack, neumann_flag, E=E, F=F)
+            point_pack, cell_pack, face_pack, neumann_flag, E=E, F=F,
+            wneu=wneu)
 
     _, tiles = jax.lax.scan(body, 0, (nodes_s, valid_s))
     return tiles
@@ -814,22 +822,23 @@ def _gls_gather_plan(nodes_list, valid_list, esup2d, esup_cnt, fsup2d,
     CPU suite's compile count bounded); NINPOL_TPU_MERGED_GATHER=1
     forces it elsewhere, NINPOL_TPU_PER_UNIT_GATHER=1 disables it.
 
-    plan_sig: tuple of (E, F, S) per unit, S == 1 for single chunks
-    (then nodes/valid have no leading stack axis)."""
+    plan_sig: tuple of (E, F, S, wneu) per unit, S == 1 for single
+    chunks (then nodes/valid have no leading stack axis)."""
     out = []
-    for nodes, valid, (E, F, S) in zip(nodes_list, valid_list, plan_sig):
+    for nodes, valid, (E, F, S, wneu) in zip(nodes_list, valid_list,
+                                             plan_sig):
         if S == 1:
             out.append(_gls_gather_fused(
                 nodes, valid, esup2d, esup_cnt, fsup2d, fsup_cnt,
                 point_pack, cell_pack, face_pack, neumann_flag,
-                E=E, F=F))
+                E=E, F=F, wneu=wneu))
         else:
-            def body(c, nv, E=E, F=F):
+            def body(c, nv, E=E, F=F, wneu=wneu):
                 n, v = nv
                 return c, _gls_gather_fused(
                     n, v, esup2d, esup_cnt, fsup2d, fsup_cnt,
                     point_pack, cell_pack, face_pack, neumann_flag,
-                    E=E, F=F)
+                    E=E, F=F, wneu=wneu)
 
             _, tiles = jax.lax.scan(body, 0, (nodes, valid))
             out.append(tiles)
@@ -1263,13 +1272,15 @@ class GLSInterpolation:
                     p["nodes_sd"], p["valid_sd"],
                     dgrid.esup2d, dgrid.esup_cnt, dgrid.fsup2d,
                     dgrid.fsup_cnt, dgrid.point_pack, dgrid.cell_pack,
-                    *face_dev, E=p["E"], F=p["F"])
+                    *face_dev, E=p["E"], F=p["F"],
+                    wneu=p["with_neumann"])
             else:
                 tiles = _gls_gather_j(
                     *bucket_dev(p),
                     dgrid.esup2d, dgrid.esup_cnt, dgrid.fsup2d,
                     dgrid.fsup_cnt, dgrid.point_pack, dgrid.cell_pack,
-                    *face_dev, E=p["E"], F=p["F"])
+                    *face_dev, E=p["E"], F=p["F"],
+                    wneu=p["with_neumann"])
             p["_tiles"] = (tkey, tiles)
             return tiles
 
@@ -1386,12 +1397,12 @@ class GLSInterpolation:
                     if kind == "scan":
                         nl.append(p["nodes_sd"])
                         vl.append(p["valid_sd"])
-                        psig.append((p["E"], p["F"], p["S"]))
+                        psig.append((p["E"], p["F"], p["S"], p["with_neumann"]))
                     else:
                         nd, vd = _bdev(p)
                         nl.append(nd)
                         vl.append(vd)
-                        psig.append((p["E"], p["F"], 1))
+                        psig.append((p["E"], p["F"], 1, p["with_neumann"]))
                 tiles_all = _gls_gather_plan(
                     tuple(nl), tuple(vl), dgrid.esup2d, dgrid.esup_cnt,
                     dgrid.fsup2d, dgrid.fsup_cnt, dgrid.point_pack,

@@ -395,7 +395,7 @@ def _solve_kernel(dkp, fgp, k12, ks, cv, fv, neu, vld,
 
     Fp = -(-F // 8) * 8
     Ep = -(-E // 8) * 8
-    fg_ = fgp[0]                                     # (32*Fp, NT)
+    fg_ = fgp[0]                                     # (24|32 *Fp, NT)
     dk_ = dkp[0]                                     # (6*Ep, NT)
     fpl = lambda c: fg_[c * Fp:c * Fp + F]           # (F, NT)
     k1 = k12[0][:F]                                  # (F, NT) i32
@@ -817,8 +817,9 @@ def gls_solve_fused(dkp, fgp, k12, ks, cv, fv, neu, vld,
     _gls_gather_fused), flattened at plane stride Kp = ceil(K/8)*8
     (aligned plane starts, one contiguous DMA segment per block):
       dkp (G, 6*Ep, NT) f32   dk = (centroid - x)*cv, hi(3)+lo(3)
-      fgp (G, 32*Fp, NT) f32  l1 | l2 | t1m | tau*T2 | nL1*bnd |
-                              nmean*bnd, each hi(3)+lo(3) (nmean 1+1)
+      fgp (G, 24*Fp or 32*Fp, NT) f32  l1 | l2 | t1m | tau*T2
+                              [| nL1*bnd | nmean*bnd, with_neumann
+                              only], each hi(3)+lo(3) (nmean 1+1)
       k12 (G, 2*Fp, NT) i32   esuf pair (k2 < 0 marks boundary)
       ks  (G, E, NT) i32      surrounding cells (clipped)
       cv/fv                   cell/face validity (f32 0/1)
@@ -848,7 +849,8 @@ def gls_solve_fused(dkp, fgp, k12, ks, cv, fv, neu, vld,
     return pl.pallas_call(
         kern,
         grid=(G,),
-        in_specs=[sp(6 * Ep, NT), sp(32 * Fp, NT),
+        in_specs=[sp(6 * Ep, NT),
+                  sp((32 if with_neumann else 24) * Fp, NT),
                   sp(2 * Fp, NT),
                   sp(E, NT), sp(E, NT), sp(F, NT), sp(1, NT), sp(1, NT)],
         out_specs=[sp(E, NT), sp(E, NT), sp(1, NT), sp(1, NT),
