@@ -316,8 +316,9 @@ def _gls_bucket_impl(
         # prepare() normally runs the two halves as separate programs
         # with the gather half CACHED per (grid, variable, plan); this
         # single-program composition stays for the sharded/mega/legacy
-        # entries and is bit-identical to the split form (the gather
-        # half does no float arithmetic).
+        # entries and is bit-identical to the split form (both run the
+        # SAME gather composition — since round 5 it carries the df32
+        # geometric prologue, moved out of the solve kernel).
         tiles = _gls_gather_fused(
             nodes, valid, esup2d, esup_cnt, fsup2d, fsup_cnt,
             point_pack, cell_pack, face_pack, neumann_flag, E=E, F=F,
@@ -811,9 +812,10 @@ def _gls_gather_scan(nodes_s, valid_s, esup2d, esup_cnt, fsup2d,
 def _gls_gather_plan(nodes_list, valid_list, esup2d, esup_cnt, fsup2d,
                      fsup_cnt, point_pack, cell_pack, face_pack,
                      neumann_flag, *, plan_sig):
-    """ONE program gathering EVERY unit of a plan (gather + tile, no
-    float arithmetic — bit-identical to the per-unit programs by
-    construction).  Each distinct per-unit gather shape is otherwise
+    """ONE program gathering EVERY unit of a plan (gather + prologue +
+    tile — bit-identical to the per-unit programs: the same op
+    sequence, and XLA does not reassociate FP).  Each distinct
+    per-unit gather shape is otherwise
     its own executable at ~10 s of load through this environment's
     remote helper even fully cached; the gathers run once per (grid,
     variable, plan) — the tile-cache contract — so merging them costs
