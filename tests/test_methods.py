@@ -398,3 +398,116 @@ def test_face_pack_layout():
     nmean = nsum.sum(axis=1) / np.maximum(ipv.sum(axis=1), 1)
     np.testing.assert_array_equal(fp[:, 28], hi(nmean))
     np.testing.assert_array_equal(fp[:, 29], lo(nmean))
+
+
+def test_gls_piece_plane_layout():
+    """Pin the round-5 precomputed piece-plane layout of
+    gls._gls_gather_fused — the solve kernel (pallas_chol._solve_kernel)
+    slices planes by INDEX, so a silent reorder would feed wrong pieces
+    without any shape error.  Recomputes every piece from the raw
+    gather outputs with the same df32 op sequence and asserts
+    bit-equality against the plane slices, for both with/without the
+    Neumann plane block."""
+    import jax.numpy as jnp
+    from ninpol_tpu._methods.gls import (
+        _gls_gather_fused, _gls_gather_raw, build_face_pack)
+    from ninpol_tpu.ops import df32 as dd
+    from ninpol_tpu.ops.pallas_chol import NT
+
+    case, interp = setup_case("tetra", 2)
+    f = get_fields(interp, case.name)
+    g = interp.grid
+    dg = interp.device_grid
+    perm = f["perm"].reshape(-1, 3, 3)
+    face_pack = build_face_pack(dg, perm, f["dmag"], f["nval"])
+    tp = np.arange(g.n_points)
+    active = np.ones(len(tp), bool)
+    bucket = dg.buckets(tp, active)[0]
+    E, F = bucket["E"], bucket["F"]
+    Fp, Ep = -(-F // 8) * 8, -(-E // 8) * 8
+    nflag = jnp.asarray(f["nflag"].astype(np.int32))
+    args = (jnp.asarray(bucket["nodes"]), jnp.asarray(bucket["valid"]),
+            dg.esup2d, dg.esup_cnt, dg.fsup2d, dg.fsup_cnt,
+            dg.point_pack, dg.cell_pack, face_pack, nflag)
+
+    (KS, cell_valid, _ne, face_valid, _nf, fpk, pair, _bnd,
+     cpk, ppk, _isneu, _act) = [np.asarray(x) for x in
+                                _gls_gather_raw(*args, E=E, F=F)]
+    B = len(bucket["nodes"])
+
+    def unplane(t, c, K, Kp):
+        x = np.asarray(t)[:, c * Kp:c * Kp + K, :]
+        return np.transpose(x, (0, 2, 1)).reshape(B, K)
+
+    # expected pieces, same df32 sequence as the gather program
+    interior = face_valid & (pair[:, :, 1] >= 0)
+    bnd32 = (face_valid & (pair[:, :, 1] < 0)).astype(np.float32)
+    im32 = interior.astype(np.float32)
+    cv32 = cell_valid.astype(np.float32)
+    col = lambda i: jnp.asarray(fpk[:, :, i])
+    xs = [(jnp.asarray(ppk[:, c]), jnp.asarray(ppk[:, c + 3]))
+          for c in range(3)]
+    bcF = lambda p: (jnp.broadcast_to(p[0][:, None], (B, F)),
+                     jnp.broadcast_to(p[1][:, None], (B, F)))
+    Nf = [(col(c), col(3 + c)) for c in range(3)]
+    T1 = [dd.add(bcF(xs[c]), dd.neg((col(6 + c), col(9 + c))))
+          for c in range(3)]
+    T2 = [dd.add(dd.mul(Nf[i], T1[j]), dd.neg(dd.mul(Nf[j], T1[i])))
+          for (i, j) in ((1, 2), (2, 0), (0, 1))]
+    t2n2 = dd.mul(T2[0], T2[0])
+    for c in (1, 2):
+        t2n2 = dd.add(t2n2, dd.mul(T2[c], T2[c]))
+    degen = np.asarray(t2n2[0]) < 1e-30
+    t2h = np.where(interior & ~degen, t2n2[0],
+                   np.where(interior, np.float32(1e-30),
+                            np.float32(1.0))).astype(np.float32)
+    t2l = np.where(interior & ~degen, t2n2[1], 0.0).astype(np.float32)
+    tau = dd.exp2(dd.mul(dd.scale((col(24), col(25)),
+                                  jnp.float32(-0.5)),
+                         dd.log2((jnp.asarray(t2h),
+                                  jnp.asarray(t2l)))))
+
+    for wneu in (True, False):
+        tiles = _gls_gather_fused(*args, E=E, F=F, wneu=wneu)
+        dkp, fgp = tiles[0], tiles[1]
+        n_planes = 32 if wneu else 24
+        assert np.asarray(fgp).shape[1] == n_planes * Fp
+        assert np.asarray(dkp).shape[1] == 6 * Ep
+        for c in range(3):
+            # fgp: l1 | l2 | t1m | tt [| lbnd | nmean]
+            exp = {0: np.asarray(col(12 + c)) * im32,
+                   3: np.asarray(col(15 + c)) * im32,
+                   6: np.asarray(col(18 + c)) * im32,
+                   9: np.asarray(col(21 + c)) * im32,
+                   12: np.asarray(T1[c][0]) * im32,
+                   15: np.asarray(T1[c][1]) * im32}
+            ttc = dd.mul(tau, T2[c])
+            exp[18] = np.asarray(ttc[0]) * im32
+            exp[21] = np.asarray(ttc[1]) * im32
+            if wneu:
+                exp[24] = np.asarray(col(12 + c)) * bnd32
+                exp[27] = np.asarray(col(15 + c)) * bnd32
+            for base, want in exp.items():
+                np.testing.assert_array_equal(
+                    unplane(fgp, base + c, F, Fp), want,
+                    err_msg=f"fgp plane {base + c} (wneu={wneu})")
+            # dkp: dk hi(3) then lo(3)
+            dkc = dd.add((jnp.asarray(cpk[:, :, c]),
+                          jnp.asarray(cpk[:, :, 3 + c])),
+                         dd.neg((jnp.broadcast_to(xs[c][0][:, None],
+                                                  (B, E)),
+                                 jnp.broadcast_to(xs[c][1][:, None],
+                                                  (B, E)))))
+            np.testing.assert_array_equal(
+                unplane(dkp, c, E, Ep), np.asarray(dkc[0]) * cv32,
+                err_msg=f"dkp plane {c}")
+            np.testing.assert_array_equal(
+                unplane(dkp, 3 + c, E, Ep), np.asarray(dkc[1]) * cv32,
+                err_msg=f"dkp plane {3 + c}")
+        if wneu:
+            np.testing.assert_array_equal(
+                unplane(fgp, 30, F, Fp),
+                np.asarray(col(26)) * bnd32, err_msg="fgp nmean hi")
+            np.testing.assert_array_equal(
+                unplane(fgp, 31, F, Fp),
+                np.asarray(col(27)) * bnd32, err_msg="fgp nmean lo")

@@ -7,8 +7,10 @@ probe-stop variants, so marginal differences attribute time to stages:
   full(s3)           sweeps=3, rounds=2            (production)
   full(s2)           sweeps=2                      -> per-sweep cost
   precond            stop after CholQR2 build      -> sweeps+extract
-  assembly           stop after prologue+assembly  -> precond stages
-  assembly(tau=1)    same, transcendental tau off  -> tau chain cost
+  assembly           stop after S-masks+assembly   -> precond stages
+  (more stops: noop/prologue/gram1/chol1/q/gram2 — see CONFIGS.
+   CAVEAT: stops before heavy compute read max(input-DMA, compute);
+   only the full-kernel configs are DMA-unmasked ground truth.)
 
 Usage: python tools/r5_attrib.py [B] [configs...]
   configs default: s3 s2 precond asm
